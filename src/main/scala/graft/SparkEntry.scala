@@ -11,7 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    operators.Aggregates
+    sources.Sources,
+    operators.Aggregates,
+    operators.Filters,
+    operators.Joins,
+    operators.SetSorts
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

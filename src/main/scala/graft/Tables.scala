@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Central table loaders over the driver-generated parquet fixtures
   * (FIXTURES.md). All graded queries read through here so the scan path
@@ -25,7 +26,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  /** events.ts is physical parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). With
+    * spark.sql.legacy.parquet.nanosAsLong=true (set by Verify/Bench/
+    * Smoke sessions) it arrives as Long nanos; all fixture values are
+    * µs-aligned (ns % 1000 == 0, probed), so integer-div to micros is
+    * exact and matches DuckDB's own ns->µs read of the same file. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** §2.1 scans / sources / sinks (SURVEY.md).
+  *
+  * Scale notes: q_scan_* exist to pin the scan path — projection and
+  * predicate must reach the parquet reader (ReadSchema / PushedFilters,
+  * asserted in PlanShapeSpec), so a 100 TB scan reads only the needed
+  * columns and skips row groups. The roundtrips exercise the CSV/JSON
+  * source+sink with explicit schemas (schema inference is a full extra
+  * pass over the data — never used).
+  */
+object Sources extends graft.QueryModule {
+
+  /** Projection-only scan: ReadSchema is pruned to 4 of 16 columns. */
+  def scanProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Projection + predicate scan: filter is pushed to parquet. */
+  def scanPruned(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") > to_timestamp(lit("2000-06-01")))
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val roundtripSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("ship_ts", StringType)))
+
+  private def sample(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_ts"))
+
+  /** Write a lineitem sample as CSV, re-read with an explicit schema. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    sample(s, dir).write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(roundtripSchema).option("header", "true").csv(out)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Same via JSON lines. */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip"
+    sample(s, dir).write.mode("overwrite").json(out)
+    s.read.schema(roundtripSchema).json(out)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val sampleSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+      |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts
+      |FROM lineitem WHERE l_orderkey < 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> scanProject,
+    "q_scan_pruned" -> scanPruned,
+    "q_source_csv_roundtrip" -> csvRoundtrip,
+    "q_source_json_roundtrip" -> jsonRoundtrip)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+        |FROM lineitem WHERE l_shipdate > TIMESTAMP '2000-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Roundtrips re-read exactly the sample: the oracle checks the
+    // written+read content against the source-of-truth parquet.
+    "q_source_csv_roundtrip" -> sampleSql,
+    "q_source_json_roundtrip" -> sampleSql)
+}

