@@ -13,6 +13,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     sources.Sources,
     operators.Aggregates,
+    operators.Windows,
     operators.Filters,
     operators.Joins,
     operators.SetSorts

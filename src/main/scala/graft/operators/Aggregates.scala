@@ -58,11 +58,184 @@ object Aggregates extends graft.QueryModule {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Exact COUNT(DISTINCT) — two-phase (partial distinct then global)
+    * under Catalyst; at 100 TB the expand+shuffle is the cost, which is
+    * why q_agg_hll exists as the approximate path. */
+  def distinctExact(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy("l_returnflag")
+
+  /** HLL++ approximate distinct — constant memory per group regardless
+    * of cardinality; the 100 TB path. No oracle (approx); AggregatesSpec
+    * bounds it within 5% of exact. */
+  def hll(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  private def custOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+
+  /** ROLLUP with grouping_id disambiguating the NULL subtotal rows. */
+  def rollup(s: SparkSession, dir: String): DataFrame =
+    custOrders(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_last,
+        col("o_orderpriority").asc_nulls_last)
+
+  /** CUBE over two dims with a decimal measure. */
+  def cube(s: SparkSession, dir: String): DataFrame =
+    custOrders(s, dir)
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2("o_totalprice")).cast("decimal(18,2)").as("sum_total"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("c_mktsegment").asc_nulls_last,
+        col("o_orderstatus").asc_nulls_last)
+
+  /** Explicit GROUPING SETS via the SQL entry point (EP3 in SURVEY §3). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_gs_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(grouping_id() AS BIGINT) AS gid
+        |FROM graft_gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST
+        |""".stripMargin)
+  }
+
+  /** Conditional aggregation (FILTER / count_if semantics). */
+  def filtered(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(col("l_quantity") > 25, 1)).as("cnt_heavy"),
+        sum(when(col("l_discount") >= 0.05, dec2("l_extendedprice")))
+          .cast("decimal(18,2)").as("sum_discounted"),
+        count(lit(1)).as("cnt_all"))
+      .orderBy("l_returnflag")
+
+  /** Sample stats over bounded-magnitude doubles (quantity <= 50 etc.) —
+    * float merge-order noise ~1e-12 relative, absorbed by ROUND (§2.0.2b). */
+  def stats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
+        round(covar_samp(col("l_quantity"), col("l_tax")), 6).as("cov_qty_tax"))
+      .orderBy("l_returnflag")
+
+  /** Exact median (Spark 4 median = exact percentile 0.5). DuckDB's
+    * median over DECIMAL truncates to the input scale (probed!) — both
+    * sides therefore compute over DOUBLE and round. */
+  def median(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(round(expr("median(o_totalprice)"), 4).as("median_total"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  /** max_by / min_by with a deterministic composite ordinal: ties on
+    * price are broken by the unique order key folded into one BIGINT
+    * (price has 2 frac digits; ROUND before the cast — Spark truncates
+    * double->bigint, DuckDB rounds). */
+  def minmaxBy(s: SparkSession, dir: String): DataFrame = {
+    val ordinal = round(col("o_totalprice") * 100).cast("long") *
+      lit(10000000000L) + col("o_orderkey")
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(max_by(col("o_orderkey"), ordinal).as("best_order"),
+        min_by(col("o_orderkey"), ordinal).as("worst_order"),
+        max(dec2("o_totalprice")).as("max_total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Per-group sorted distinct list (deterministic collect per §2.0.5). */
+  def collectSorted(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_pricing_summary" -> ((s, d) => pricingSummary(s, d))
-  )
+    "q_agg_pricing_summary" -> ((s, d) => pricingSummary(s, d)),
+    "q_agg_distinct_exact" -> distinctExact,
+    "q_agg_hll" -> hll,
+    "q_agg_rollup" -> rollup,
+    "q_agg_cube" -> cube,
+    "q_agg_grouping_sets" -> groupingSets,
+    "q_agg_filtered" -> filtered,
+    "q_agg_stats" -> stats,
+    "q_agg_median" -> median,
+    "q_agg_minmax_by" -> minmaxBy,
+    "q_agg_collect" -> collectSorted)
 
   def oracleSql: Map[String, String] = Map(
-    "q_agg_pricing_summary" -> pricingSummarySql
-  )
+    "q_agg_pricing_summary" -> pricingSummarySql,
+    "q_agg_distinct_exact" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |  COUNT(*) AS line_cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT n_name, o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(GROUPING_ID(n_name, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderpriority)
+        |ORDER BY gid, n_name ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_total,
+        |  CAST(GROUPING_ID(c_mktsegment, o_orderstatus) AS BIGINT) AS gid
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+        |ORDER BY gid, c_mktsegment ASC NULLS LAST, o_orderstatus ASC NULLS LAST""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin,
+    "q_agg_filtered" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS cnt_heavy,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_discount >= 0.05) AS DECIMAL(18,2)) AS sum_discounted,
+        |  COUNT(*) AS cnt_all
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+        |  ROUND(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+        |  ROUND(covar_samp(l_quantity, l_tax), 6) AS cov_qty_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_median" ->
+      """SELECT o_orderstatus,
+        |  ROUND(median(CAST(o_totalprice AS DOUBLE)), 4) AS median_total,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_minmax_by" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT)*10000000000 + o_orderkey) AS best_order,
+        |  arg_min(o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT)*10000000000 + o_orderkey) AS worst_order,
+        |  max(CAST(o_totalprice AS DECIMAL(12,2))) AS max_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT o_orderstatus, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

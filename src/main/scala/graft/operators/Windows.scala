@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** §2.5 window functions (SURVEY.md).
+  *
+  * Scale notes: a window is one shuffle on the partition key plus a
+  * per-partition sort — the same cost class as groupBy. Every window
+  * here partitions on a real key (nation / customer / user / supplier)
+  * so at 100 TB the work distributes; none uses a global (empty)
+  * partition, which would funnel all rows to one task.
+  */
+object Windows extends graft.QueryModule {
+  import Det._
+
+  /** Ranking family over a provably-unique order (acctbal, custkey). */
+  def rankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** lag/lead per user event stream (µs gaps stay exact integers). */
+  def lagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy("event_id")
+  }
+
+  /** ROWS frames: running total + 7-row moving average per customer. */
+  def frameRows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w7 = w.rowsBetween(-6, 0)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec2("o_totalprice")).over(run)
+          .cast("decimal(18,2)").as("run_total"),
+        round(sum(dec2("o_totalprice")).over(w7).cast("double") /
+          count(lit(1)).over(w7), 4).as("avg7"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** RANGE frame: 30-day trailing sum per customer over epoch-day
+    * numbers (dodges interval-type mismatches across engines, §2.5). */
+  def frameRange(s: SparkSession, dir: String): DataFrame = {
+    val dayNo = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_no"))
+      .rangeBetween(-29, 0)
+    Tables.orders(s, dir)
+      .withColumn("day_no", dayNo)
+      .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+        sum(dec2("o_totalprice")).over(w)
+          .cast("decimal(18,2)").as("sum_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Top-3 parts by revenue per supplier (rank-filter pattern). */
+  def topkGroup(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(revenue).cast("decimal(18,4)").as("part_revenue"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("part_revenue").desc, col("l_partkey").asc)
+    rev.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** first_value / last_value with an explicit full frame (the default
+    * frame stops at CURRENT ROW — a classic silent-wrong-answer). */
+  def firstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        count(lit(1)).over(w).as("order_cnt"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> rankFamily,
+    "q_win_lag_lead" -> lagLead,
+    "q_win_frame_rows" -> frameRows,
+    "q_win_frame_range" -> frameRange,
+    "q_win_topk_group" -> topkGroup,
+    "q_win_first_last" -> firstLast)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+        |  DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_nationkey, rn""".stripMargin,
+    "q_win_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS gap_us,
+        |  LEAD(value, 1) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
+    "q_win_frame_rows" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w7 AS DOUBLE) /
+        |    COUNT(*) OVER w7, 4) AS avg7
+        |FROM orders
+        |WINDOW w7 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_frame_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_no,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY o_custkey
+        |     ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS sum_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_topk_group" ->
+      """SELECT l_suppkey, l_partkey, part_revenue, rn FROM (
+        |  SELECT l_suppkey, l_partkey, part_revenue,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY part_revenue DESC, l_partkey ASC) AS rn
+        |  FROM (
+        |    SELECT l_suppkey, l_partkey,
+        |      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS part_revenue
+        |    FROM lineitem GROUP BY l_suppkey, l_partkey)
+        |) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "q_win_first_last" ->
+      """SELECT DISTINCT o_custkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_order,
+        |  COUNT(*) OVER w AS order_cnt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey""".stripMargin)
+}
