@@ -16,7 +16,9 @@ object SparkEntry {
     operators.Windows,
     operators.Filters,
     operators.Joins,
-    operators.SetSorts
+    operators.SetSorts,
+    functions.Scalars,
+    functions.Udx
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
