@@ -17,6 +17,8 @@ object SparkEntry {
     operators.Filters,
     operators.Joins,
     operators.SetSorts,
+    operators.TextOps,
+    operators.VectorOps,
     functions.Scalars,
     functions.Udx
   )

@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.8 text / LLM-pipeline operators, part 1: tokenization, n-grams,
+  * TF-IDF, corpus stats, lexicon scoring, dedup (exact + MinHash +
+  * exact-Jaccard verification).
+  *
+  * Design facts probed from the fixtures (see FIXTURES.md): 31-word
+  * vocabulary; 3-word-shingle Jaccard is ~0 between random docs but
+  * >0.5 for planted near-duplicates (a rare `dup` token marks them) —
+  * so shingle k=3 and threshold 0.5 separate signal from noise, while
+  * token-SET Jaccard (median 0.67) would not.
+  *
+  * 100 TB notes: everything is explode -> hash-agg -> hash-join on
+  * token/shingle keys — no driver-side collection, no cross join of
+  * docs. MinHash turns the all-pairs problem into an equi-join on
+  * (perm, min-hash) buckets, the standard LSH-banding scale path.
+  */
+object TextOps extends graft.QueryModule {
+
+  /** Tokens with 1-based ordinal per doc (lowercased, empties dropped). */
+  def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .where(col("col") =!= "")
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("ord"),
+        col("col").as("token"))
+
+  /** Distinct 3-word shingles per doc. */
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("l", split(lower(col("text")), " "))
+      .where(size(col("l")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(l)-2), " +
+          "i -> concat(l[i-1], ' ', l[i], ' ', l[i+1])))")).as("shingle"))
+
+  private val tokensSql =
+    """SELECT doc_id, tokens[s] AS token
+      |FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens)+1)) AS s
+      |      FROM (SELECT doc_id, str_split(lower(text), ' ') AS tokens FROM documents))
+      |WHERE tokens[s] <> ''""".stripMargin
+
+  private val shinglesSql =
+    """SELECT doc_id, unnest(list_distinct(
+      |  [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l)-1)])) AS shingle
+      |FROM (SELECT doc_id, str_split(lower(text), ' ') AS l FROM documents)
+      |WHERE len(l) >= 3""".stripMargin
+
+  /** Per-doc token count + average token length (Tokenizer semantics). */
+  def textTokenize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(expr("aggregate(toks, 0L, (a, x) -> a + length(x))").cast("double")
+          / size(col("toks")), 4).as("avg_tok_len"))
+      .orderBy("doc_id")
+
+  /** StopWordsRemover semantics with a DATA-DERIVED stop list (top-10
+    * corpus frequency, ties by token) — the fixture langs are
+    * en/es/fr/de/zh so a fixed English list would be wrong. */
+  def textStopwords(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(s, dir)
+    val stop = t.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc).limit(10)
+      .select("token")
+    t.join(broadcast(stop), Seq("token"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_total"),
+        countDistinct(col("token")).as("kept_distinct"))
+      .orderBy("doc_id")
+  }
+
+  /** NGram semantics: word bigrams, global top-50 frequencies. */
+  def textNgram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(50)
+
+  /** Term frequency per (doc, term). */
+  def textTf(s: SparkSession, dir: String): DataFrame =
+    tokens(s, dir)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "token")
+
+  /** TF-IDF with MLlib's smoothed formula idf = ln((N+1)/(df+1))
+    * (differs from the ln(N/df) textbook form — documented). */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(s, dir)
+    val tf = t.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = t.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+          .as("idf"),
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "token")
+  }
+
+  /** Corpus profile per language. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("n_toks", size(expr("filter(split(lower(text), ' '), x -> x <> '')")))
+    val docStats = d.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(col("n_toks").cast("long")).as("sum_tokens"))
+    val vocab = tokens(s, dir)
+      .join(broadcast(Tables.documents(s, dir).select("doc_id", "lang")), "doc_id")
+      .groupBy("lang").agg(countDistinct(col("token")).as("vocab_size"))
+    docStats.join(vocab, "lang")
+      .select(col("lang"), col("n_docs"),
+        round(col("sum_chars").cast("double") / col("n_docs"), 4).as("avg_chars"),
+        col("vocab_size"),
+        round(col("sum_chars").cast("double") / col("sum_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  /** Lexicon scoring (sentiment-style): inline {token: weight} table
+    * joined against the token stream; exact decimal weights. */
+  def textLexiconScore(s: SparkSession, dir: String): DataFrame = {
+    val lex = s.createDataFrame(Seq(
+      ("fast", BigDecimal("2.0")), ("slow", BigDecimal("-2.0")),
+      ("small", BigDecimal("-1.0")), ("big", BigDecimal("1.0")),
+      ("dup", BigDecimal("-3.0")), ("query", BigDecimal("1.5"))))
+      .toDF("token", "weight")
+      .withColumn("weight", col("weight").cast("decimal(4,1)"))
+    tokens(s, dir).join(broadcast(lex), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        round(sum(col("weight")).cast("double") / count(lit(1)), 4).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup on (lang, text): deterministic survivor = min(doc_id).
+    * Implemented as groupBy+min, NOT dropDuplicates (whose survivor is
+    * partition-order dependent — §2.0). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang", "text")
+      .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("dup_cnt"))
+      .select(col("lang"), col("survivor"), col("dup_cnt"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy("survivor")
+
+  /** MinHash near-dup candidates — ENGINE-NEUTRAL arithmetic hashing
+    * (§2.0.7): shingle ids from a dense-ranked vocabulary, 16 affine
+    * permutations (a*id + b) mod p with literal constants, candidate
+    * pairs = docs agreeing on >= 8 of 16 signature slots.
+    *
+    * Scale path: dense_rank over the global vocab is a fixture-scale
+    * convenience; at 100 TB the id assignment becomes sort +
+    * zipWithIndex (distributed), and the signature join is already the
+    * standard LSH band join (equi-join on (perm, minhash)) — never an
+    * all-pairs cross join. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val vocab = sh.select("shingle").distinct()
+      .withColumn("sid", dense_rank().over(Window.orderBy("shingle")).cast("long"))
+    val perms = s.createDataFrame(TextOps.permTable).toDF("perm", "a", "b")
+    val sig = sh.join(vocab, "shingle")
+      .crossJoin(broadcast(perms))
+      .groupBy(col("doc_id"), col("perm"))
+      .agg(min((col("a") * col("sid") + col("b")) % lit(2147483647L)).as("minh"))
+    val s1 = sig.select(col("doc_id").as("d1"), col("perm"), col("minh"))
+    val s2 = sig.select(col("doc_id").as("d2"), col("perm"), col("minh"))
+    s1.join(s2, Seq("perm", "minh")).where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("matches"))
+      .where(col("matches") >= 8)
+      .select(col("d1"), col("d2"), col("matches"),
+        round(col("matches") / lit(16.0), 4).as("agreement"))
+      .orderBy(col("matches").desc, col("d1").asc, col("d2").asc)
+      .limit(100)
+  }
+
+  /** Exact Jaccard on 3-shingle sets (verifies MinHash candidates):
+    * equi-join on shingle -> intersection counts; never all-pairs. */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("d1"), col("shingle"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")), 6))
+      .where(col("jaccard") >= 0.5)
+      .select("d1", "d2", "inter", "jaccard")
+      .orderBy(col("jaccard").desc, col("d1").asc, col("d2").asc)
+      .limit(100)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokenize" -> textTokenize,
+    "q_text_stopwords" -> textStopwords,
+    "q_text_ngram" -> textNgram,
+    "q_text_tf" -> textTf,
+    "q_text_tfidf" -> textTfidf,
+    "q_text_stats" -> textStats,
+    "q_text_lexicon_score" -> textLexiconScore,
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_jaccard" -> dedupJaccard)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_tokenize" ->
+      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4) AS avg_tok_len
+        |FROM (SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_stopwords" ->
+      s"""WITH tok AS ($tokensSql),
+        |stop AS (SELECT token FROM (
+        |  SELECT token, count(*) AS c FROM tok GROUP BY token
+        |  ORDER BY c DESC, token ASC LIMIT 10))
+        |SELECT doc_id, COUNT(*) AS kept_total,
+        |  COUNT(DISTINCT token) AS kept_distinct
+        |FROM tok WHERE token NOT IN (SELECT token FROM stop)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_ngram" ->
+      """SELECT l[i] || ' ' || l[i+1] AS bigram, COUNT(*) AS cnt
+        |FROM (SELECT l, unnest(range(1, len(l))) AS i
+        |      FROM (SELECT list_filter(str_split(lower(text), ' '), x -> x <> '') AS l
+        |            FROM documents)
+        |      WHERE len(l) >= 2)
+        |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50""".stripMargin,
+    "q_text_tf" ->
+      s"""WITH tok AS ($tokensSql)
+        |SELECT doc_id, token, COUNT(*) AS tf
+        |FROM tok GROUP BY doc_id, token ORDER BY doc_id, token""".stripMargin,
+    "q_text_tfidf" ->
+      s"""WITH tok AS ($tokensSql),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf,
+        |  ROUND(ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 6) AS idf,
+        |  ROUND(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 6) AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |ORDER BY doc_id, token""".stripMargin,
+    "q_text_stats" ->
+      s"""WITH tok AS ($tokensSql),
+        |d AS (SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        |        SUM(len(list_filter(str_split(lower(text), ' '), x -> x <> ''))) AS sum_tokens
+        |      FROM documents GROUP BY lang),
+        |v AS (SELECT lang, COUNT(DISTINCT token) AS vocab_size
+        |      FROM tok JOIN documents USING (doc_id) GROUP BY lang)
+        |SELECT lang, n_docs,
+        |  ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 4) AS avg_chars,
+        |  vocab_size,
+        |  ROUND(CAST(sum_chars AS DOUBLE) / sum_tokens, 4) AS chars_per_token
+        |FROM d JOIN v USING (lang) ORDER BY lang""".stripMargin,
+    "q_text_lexicon_score" ->
+      s"""WITH tok AS ($tokensSql),
+        |lex(token, weight) AS (VALUES
+        |  ('fast', CAST(2.0 AS DECIMAL(4,1))), ('slow', CAST(-2.0 AS DECIMAL(4,1))),
+        |  ('small', CAST(-1.0 AS DECIMAL(4,1))), ('big', CAST(1.0 AS DECIMAL(4,1))),
+        |  ('dup', CAST(-3.0 AS DECIMAL(4,1))), ('query', CAST(1.5 AS DECIMAL(4,1))))
+        |SELECT doc_id, COUNT(*) AS n_scored,
+        |  ROUND(CAST(SUM(weight) AS DOUBLE) / COUNT(*), 4) AS score
+        |FROM tok JOIN lex USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT lang, MIN(doc_id) AS survivor, COUNT(*) AS dup_cnt,
+        |  CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents GROUP BY lang, text ORDER BY survivor""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH sh AS ($shinglesSql),
+        |vocab AS (SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid
+        |          FROM (SELECT DISTINCT shingle FROM sh)),
+        |perms(perm, a, b) AS (VALUES ${TextOps.permValuesSql}),
+        |sig AS (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
+        |        FROM sh JOIN vocab USING (shingle) CROSS JOIN perms
+        |        GROUP BY doc_id, perm)
+        |SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS matches,
+        |  ROUND(COUNT(*) / 16.0, 4) AS agreement
+        |FROM sig s1 JOIN sig s2
+        |  ON s1.perm = s2.perm AND s1.minh = s2.minh AND s1.doc_id < s2.doc_id
+        |GROUP BY d1, d2 HAVING COUNT(*) >= 8
+        |ORDER BY matches DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin,
+    "q_dedup_jaccard" ->
+      s"""WITH sh AS ($shinglesSql),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2)
+        |SELECT d1, d2, inter,
+        |  ROUND(CAST(inter AS DOUBLE) / (z1.sz + z2.sz - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes z1 ON z1.doc_id = d1
+        |JOIN sizes z2 ON z2.doc_id = d2
+        |WHERE CAST(inter AS DOUBLE) / (z1.sz + z2.sz - inter) >= 0.5
+        |ORDER BY jaccard DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin)
+
+  /** 16 fixed affine permutation constants (perm, a, b), identical
+    * literals on both engines. The multipliers MUST be large enough
+    * that a*sid wraps mod p — with small a the map is monotone in sid,
+    * every slot degenerates to the same min-shingle and the estimator
+    * has the variance of ONE hash (found the hard way: Jaccard-0.99
+    * pairs scored 0/16). a*sid stays < 2^63 up to ~5e9 vocabulary ids. */
+  val permTable: Seq[(Int, Long, Long)] = Seq(
+    (0, 1103515245L, 12345L), (1, 1234567891L, 911382323L),
+    (2, 987654323L, 972663749L), (3, 805306457L, 429496751L),
+    (4, 1610612741L, 858993463L), (5, 402653189L, 715827881L),
+    (6, 201326611L, 145920007L), (7, 1479038593L, 104395303L),
+    (8, 715827883L, 54018521L), (9, 1073807359L, 27644437L),
+    (10, 536870923L, 13466917L), (11, 268435459L, 6700417L),
+    (12, 134217757L, 3276509L), (13, 67108879L, 1594331L),
+    (14, 33554467L, 786433L), (15, 16777259L, 433494437L))
+
+  val permValuesSql: String =
+    permTable.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+}

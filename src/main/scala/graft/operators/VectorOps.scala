@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** §2.8 text / LLM-pipeline operators, part 2: similarity search,
+  * multimodal join, vector analytics, feature scaling, MLlib wrapper.
+  *
+  * 100 TB notes: the probe side of every similarity query is broadcast
+  * (small by construction); the corpus side streams through one scan.
+  * The LSH variant is the scale path — candidates come from an
+  * equi-join on bucket signatures, not an all-pairs product. Distances
+  * are ranked on ROUNDED values with a unique tie-break so cross-engine
+  * 1e-14 float noise cannot flip orderings (§2.0).
+  */
+object VectorOps extends graft.QueryModule {
+  import Det._
+
+  /** embedding (float) cast to double once, shared by all queries. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("e", expr("transform(embedding, x -> cast(x AS double))"))
+
+  private val cosExpr =
+    "aggregate(zip_with(e1, e2, (x, y) -> x * y), cast(0 AS double), (a, x) -> a + x) / " +
+      "(sqrt(aggregate(e1, cast(0 AS double), (a, x) -> a + x*x)) * " +
+      " sqrt(aggregate(e2, cast(0 AS double), (a, x) -> a + x*x)))"
+
+  /** Brute-force cosine top-5 for 20 probe vectors — the exactness
+    * baseline. Probes are broadcast; corpus side is a single scan. */
+  def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir).select(col("vec_id"), col("e").as("e2"))
+    val probes = emb(s, dir).where(col("vec_id") <= 20)
+      .select(col("vec_id").as("probe_id"), col("e").as("e1"))
+    val pairs = all.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(expr(cosExpr), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rn").cast("long").as("rn"))
+      .orderBy("probe_id", "rn")
+  }
+
+  /** Random-hyperplane LSH bucketing (BucketedRandomProjectionLSH
+    * semantics, deterministic reimpl): 6 tables x 3 sign-bits from
+    * fixed pseudo-random planes, bucket equi-join for candidates, exact
+    * cosine re-rank. NO oracle (approx); VectorSpec bounds recall vs
+    * the exact baseline. */
+  def simLshBucketed(s: SparkSession, dir: String): DataFrame = {
+    val planes: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(42)
+      Array.fill(18, 64)(rnd.nextGaussian())
+    }
+    def bucketCol(table: Int): org.apache.spark.sql.Column = {
+      (0 until 3).map { bit =>
+        val dot = expr(s"aggregate(zip_with(e, plane_${table}_$bit, (x, y) -> x * y), " +
+          "cast(0 AS double), (a, x) -> a + x)")
+        (when(dot > 0, 1).otherwise(0) * (1 << bit))
+      }.reduce(_ + _)
+    }
+    var base = emb(s, dir)
+    for (t <- 0 until 6; b <- 0 until 3)
+      base = base.withColumn(s"plane_${t}_$b", array(planes(t * 3 + b).map(lit): _*))
+    val bucketed = base.select(
+      col("vec_id") +: col("e") +:
+        (0 until 6).map(t => bucketCol(t).as(s"bkt_$t")): _*)
+    val tables = (0 until 6).map { t =>
+      bucketed.select(col("vec_id"), col("e"), lit(t).as("tbl"),
+        col(s"bkt_$t").as("bkt"))
+    }.reduce(_ unionByName _)
+    val probes = tables.where(col("vec_id") <= 20)
+      .select(col("vec_id").as("probe_id"), col("e").as("e1"),
+        col("tbl"), col("bkt"))
+    val cands = tables.join(probes, Seq("tbl", "bkt"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("e").as("e2"), col("e1"))
+      .distinct()
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands.withColumn("cos", round(expr(cosExpr), 6))
+      .select("probe_id", "vec_id", "cos")
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  /** Multimodal join: text metadata ⋈ vectors, per-(lang, label)
+    * histogram + first-4-dim centroid. */
+  def multimodalJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .join(emb(s, dir), col("doc_id") === col("vec_id"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(expr("e[0]")), 6).as("c0"),
+        round(avg(expr("e[1]")), 6).as("c1"),
+        round(avg(expr("e[2]")), 6).as("c2"),
+        round(avg(expr("e[3]")), 6).as("c3"))
+      .orderBy("lang", "label")
+
+  /** Per-label centroids (64-dim avg via posexplode -> (label, dim)
+    * agg) + top-5 outliers per label by distance-to-own-centroid.
+    * Ranked on the ROUNDED distance with vec_id tie-break. */
+  def vecCentroids(s: SparkSession, dir: String): DataFrame = {
+    val exploded = emb(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("e")))
+      .select(col("vec_id"), col("label"), col("pos").as("dim"), col("col").as("v"))
+    val centroids = exploded.groupBy("label", "dim")
+      .agg(avg(col("v")).as("c"))
+    val dist = exploded.join(centroids, Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(round(sqrt(sum((col("v") - col("c")) * (col("v") - col("c")))), 6)
+        .as("dist"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist").desc, col("vec_id").asc)
+    dist.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("label"), col("vec_id"), col("dist"), col("rn").cast("long").as("rn"))
+      .orderBy("label", "rn")
+  }
+
+  /** StandardScaler + MinMaxScaler semantics on events.value per
+    * event_type. Mean from an exact decimal sum (deterministic); stddev
+    * stays double, absorbed by ROUND. */
+  def vecScale(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(s, dir).groupBy("event_type")
+      .agg((sum(dec2("value")).cast("double") / count(lit(1))).as("mean"),
+        stddev_samp(col("value")).as("sd"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    Tables.events(s, dir).join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("mean")) / col("sd"), 4).as("zscore"),
+        round((col("value") - col("mn")) / (col("mx") - col("mn")), 6)
+          .as("minmax"))
+      .orderBy("event_id")
+  }
+
+  /** QuantileDiscretizer semantics: ntile(10) deciles + fixed-width
+    * buckets of o_totalprice. */
+  def vecBucketize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        ntile(10).over(w).cast("long").as("decile"),
+        least(floor(col("o_totalprice") / 50000), lit(9)).cast("long")
+          .as("width_bucket"))
+      .orderBy("o_orderkey")
+  }
+
+  /** MLlib wrapper: KMeans(k=10, seed=42) over the embeddings; cluster
+    * sizes + inertia. NO oracle (iterative, seeded); VectorSpec pins
+    * shape + stability. */
+  def mlKmeans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val feats = emb(s, dir).select(col("vec_id"), col("label"),
+      toVec(col("e")).as("features"))
+    val model = new KMeans().setK(10).setSeed(42L).setFeaturesCol("features")
+      .fit(feats)
+    model.transform(feats)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("prediction").cast("long").as("cluster"), col("cluster_size"))
+      .orderBy("cluster")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_cosine_topk" -> simCosineTopk,
+    "q_sim_lsh_bucketed" -> simLshBucketed,
+    "q_multimodal_join" -> multimodalJoin,
+    "q_vec_centroids" -> vecCentroids,
+    "q_vec_scale" -> vecScale,
+    "q_vec_bucketize" -> vecBucketize,
+    "q_ml_kmeans_helper" -> mlKmeans)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sim_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT probe_id, vec_id, cos, rn FROM (
+        |  SELECT p.vec_id AS probe_id, a.vec_id AS vec_id,
+        |    ROUND(list_cosine_similarity(p.v, a.v), 6) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(p.v, a.v), 6) DESC, a.vec_id ASC) AS BIGINT) AS rn
+        |  FROM e p JOIN e a ON p.vec_id <= 20 AND a.vec_id <> p.vec_id)
+        |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+    "q_multimodal_join" ->
+      """SELECT lang, label, COUNT(*) AS cnt,
+        |  ROUND(avg(v[1]), 6) AS c0, ROUND(avg(v[2]), 6) AS c1,
+        |  ROUND(avg(v[3]), 6) AS c2, ROUND(avg(v[4]), 6) AS c3
+        |FROM documents JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |                     FROM embeddings) ON doc_id = vec_id
+        |GROUP BY lang, label ORDER BY lang, label""".stripMargin,
+    "q_vec_centroids" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, d AS dim, v[d+1] AS val
+        |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |          unnest(range(0, len(embedding))) AS d
+        |        FROM embeddings)),
+        |cent AS (SELECT label, dim, avg(val) AS c FROM ex GROUP BY label, dim),
+        |dist AS (
+        |  SELECT vec_id, label,
+        |    ROUND(sqrt(SUM((val - c) * (val - c))), 6) AS dist
+        |  FROM ex JOIN cent USING (label, dim)
+        |  GROUP BY vec_id, label)
+        |SELECT label, vec_id, dist, rn FROM (
+        |  SELECT label, vec_id, dist,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY dist DESC, vec_id ASC) AS BIGINT) AS rn
+        |  FROM dist)
+        |WHERE rn <= 5 ORDER BY label, rn""".stripMargin,
+    "q_vec_scale" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean,
+        |    stddev_samp(value) AS sd, MIN(value) AS mn, MAX(value) AS mx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type,
+        |  ROUND((value - mean) / sd, 4) AS zscore,
+        |  ROUND((value - mn) / (mx - mn), 6) AS minmax
+        |FROM events JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    "q_vec_bucketize" ->
+      """SELECT o_orderkey,
+        |  CAST(NTILE(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS decile,
+        |  CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS BIGINT) AS width_bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}

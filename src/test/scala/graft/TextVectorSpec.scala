@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Ring 2: text/LLM-pipeline invariants, incl. the no-oracle approx ops
+  * (LSH recall, KMeans shape) per SURVEY.md §5. */
+class TextVectorSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("minhash agreement upper-bounds nothing below exact jaccard 0.5 pairs") {
+    // every exact-Jaccard>=0.5 pair should be found by minhash (16 perms,
+    // >=8 agreement) with high probability; assert full recall on the
+    // tiny fixture where true pairs have jaccard ~0.9+
+    val exact = run("q_dedup_jaccard").select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = run("q_dedup_minhash").select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(exact.subsetOf(mh), s"missed pairs: ${exact -- mh}")
+  }
+
+  test("tfidf: idf is 0 for a token present in every doc, positive otherwise") {
+    val n = Tables.documents(spark, dir).count()
+    val bad = run("q_text_tfidf")
+      .join(run("q_text_tf").groupBy("token")
+        .agg(countDistinct("doc_id").as("df2")), "token")
+      .where((col("df2") === n && abs(col("idf")) > 1e-9) ||
+        (col("df2") < n && col("idf") <= 0))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("stopword removal never increases token counts") {
+    val tot = run("q_text_tokenize").select(col("doc_id"), col("n_tokens"))
+    val kept = run("q_text_stopwords").select(col("doc_id"), col("kept_total"))
+    assert(tot.join(kept, "doc_id")
+      .where(col("kept_total") > col("n_tokens")).count() == 0)
+  }
+
+  test("cosine top-k: self excluded, cos in [-1,1], exactly 5 per probe") {
+    val tk = run("q_sim_cosine_topk").cache()
+    assert(tk.where(col("probe_id") === col("vec_id")).count() == 0)
+    assert(tk.where(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
+    val counts = tk.groupBy("probe_id").count().collect()
+    assert(counts.forall(_.getLong(1) == 5))
+    tk.unpersist()
+  }
+
+  test("LSH bucketed recall >= 0.5 vs exact top-5 (6 tables x 3 bits)") {
+    val exact = run("q_sim_cosine_topk").select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("q_sim_lsh_bucketed").select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("kmeans: 10 clusters, sizes sum to corpus size, seeded-stable") {
+    val a = run("q_ml_kmeans_helper").collect()
+    assert(a.length == 10)
+    assert(a.map(_.getLong(1)).sum == Tables.embeddings(spark, dir).count())
+    val b = run("q_ml_kmeans_helper").collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("centroid outliers: 5 per label, distances non-negative") {
+    val c = run("q_vec_centroids").cache()
+    assert(c.groupBy("label").count().where(col("count") =!= 5).count() == 0)
+    assert(c.where(col("dist") < 0).count() == 0)
+    c.unpersist()
+  }
+
+  test("scaling: minmax in [0,1]; zscore mean ~ 0 per type") {
+    val sc = run("q_vec_scale").cache()
+    assert(sc.where(col("minmax") < 0 || col("minmax") > 1).count() == 0)
+    val means = sc.groupBy("event_type").agg(avg("zscore").as("m")).collect()
+    assert(means.forall(r => math.abs(r.getDouble(1)) < 0.01))
+    sc.unpersist()
+  }
+}
