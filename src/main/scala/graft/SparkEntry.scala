@@ -19,6 +19,7 @@ object SparkEntry {
     operators.SetSorts,
     operators.TextOps,
     operators.VectorOps,
+    streaming.StreamOps,
     functions.Scalars,
     functions.Udx
   )

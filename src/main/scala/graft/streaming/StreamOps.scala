@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** §2.9 streaming operators (SURVEY.md).
+  *
+  * Each operator is a TRANSFORM over an events frame, so the exact same
+  * code runs (a) as the graded batch twin here and (b) through
+  * Structured Streaming (MemoryStream -> transform -> memory sink) in
+  * StreamingSpec — window semantics are deterministic on complete data,
+  * which is what makes the batch twin oracle-checkable. Late-data /
+  * watermark behavior has no batch equivalent and lives in the spec
+  * only.
+  *
+  * 100 TB notes: all windows key on (window, user/type) — state is
+  * bounded per key and watermarking caps it in true streaming; nothing
+  * buffers unbounded history.
+  */
+object StreamOps extends graft.QueryModule {
+  import Det._
+
+  /** Tumbling 1 h windows x event_type. Spark's window() aligns starts
+    * to the 1970 UTC epoch, which is exactly date_trunc('hour'). */
+  def tumbling(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2("value")).cast("decimal(18,2)").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Sliding 1 h windows every 15 min (each event lands in 4 windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"))
+
+  /** Session windows per user, 30 min gap; session end = last ts + gap. */
+  def session(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2("value")).cast("decimal(18,2)").as("sum_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_value"),
+        (unix_micros(col("session_window.end")) -
+          unix_micros(col("session_window.start"))).as("duration_us"))
+
+  /** Dedup on (user_id, event_type, hour) with deterministic survivor =
+    * min(event_id) — groupBy+min, not dropDuplicates, per §2.0 (the
+    * streaming spec exercises dropDuplicates semantics separately). */
+  def dedup(events: DataFrame): DataFrame =
+    events.withColumn("hour_start", date_trunc("hour", col("ts")))
+      .groupBy("user_id", "event_type", "hour_start")
+      .agg(min(col("event_id")).as("survivor"), count(lit(1)).as("dup_cnt"))
+
+  /** Ordered funnel signup -> click -> purchase per user: first signup,
+    * first click at-or-after it, first purchase at-or-after that click;
+    * conversion time in µs. Three bounded aggregations, no sort of the
+    * whole stream. */
+  def funnel(events: DataFrame): DataFrame = {
+    val s = events.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+    val c = events.where(col("event_type") === "click")
+      .join(s, "user_id").where(col("ts") >= col("signup_ts"))
+      .groupBy("user_id", "signup_ts").agg(min(col("ts")).as("click_ts"))
+    val p = events.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") >= col("click_ts"))
+      .groupBy("user_id", "signup_ts", "click_ts")
+      .agg(min(col("ts")).as("purchase_ts"))
+    s.join(c.select("user_id", "click_ts"), Seq("user_id"), "left")
+      .join(p.select("user_id", "purchase_ts"), Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"), col("click_ts"),
+        col("purchase_ts"),
+        col("purchase_ts").isNotNull.as("converted"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("signup_ts")))
+          .as("ttc_us"))
+  }
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> ((s, d) => tumbling(ev(s, d))
+      .orderBy("window_start", "event_type")),
+    "q_stream_sliding" -> ((s, d) => sliding(ev(s, d))
+      .orderBy("window_start", "event_type")),
+    "q_stream_session" -> ((s, d) => session(ev(s, d))
+      .orderBy("user_id", "session_start")),
+    "q_stream_dedup" -> ((s, d) => dedup(ev(s, d))
+      .orderBy("user_id", "event_type", "hour_start")),
+    "q_stream_stateful_funnel" -> ((s, d) => funnel(ev(s, d))
+      .orderBy("user_id")))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 - k * 900 AS BIGINT) * 1000000) AS window_start,
+        |  event_type, COUNT(*) AS cnt
+        |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) offs(k)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value,
+        |  epoch_us(MAX(ts)) + 1800000000 - epoch_us(MIN(ts)) AS duration_us
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, date_trunc('hour', ts) AS hour_start,
+        |  MIN(event_id) AS survivor, COUNT(*) AS dup_cnt
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, hour_start""".stripMargin,
+    "q_stream_stateful_funnel" ->
+      """WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, s.signup_ts, MIN(e.ts) AS click_ts
+        |      FROM events e JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= s.signup_ts
+        |      GROUP BY e.user_id, s.signup_ts),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+        |      GROUP BY e.user_id)
+        |SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+        |  p.purchase_ts IS NOT NULL AS converted,
+        |  epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS ttc_us
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |       LEFT JOIN p ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin)
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Ring 2 streaming (SURVEY.md §2.9/§5): the SAME transforms that the
+  * graded batch twins use, run through MemoryStream + memory sink, must
+  * produce identical results on complete data; plus watermark late-data
+  * behavior and an arbitrary-state funnel, which have no batch twin. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
+/** Funnel state: first signup / first valid click / first valid purchase
+  * as epoch-µs. */
+case class FState(s: Option[Long], c: Option[Long], p: Option[Long])
+
+class StreamingSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def eventsSample(): Seq[Ev] = {
+    Tables.events(spark, dir).orderBy("ts", "event_id")
+      .collect().map(r => Ev(r.getAs[Long]("event_id"),
+        r.getAs[Timestamp]("ts"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"))).toSeq
+  }
+
+  /** Run `transform` over the sample through a MemoryStream in complete
+    * mode and return the sink contents. */
+  private def throughStream(name: String, data: Seq[Ev],
+    transform: DataFrame => DataFrame): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val mem = MemoryStream[Ev]
+    // feed in two batches to exercise incremental state
+    val (a, b) = data.splitAt(data.size / 2)
+    val q = transform(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      sp.table(name).cache()
+    } finally q.stop()
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"stream/batch mismatch: only-stream=${a.exceptAll(b).count()} " +
+        s"only-batch=${b.exceptAll(a).count()}")
+  }
+
+  test("tumbling window: stream == batch on complete data") {
+    val data = eventsSample()
+    val batch = streaming.StreamOps.tumbling(Tables.events(spark, dir))
+    assertSame(throughStream("t_tumbling", data, streaming.StreamOps.tumbling), batch)
+  }
+
+  test("session window: stream == batch on complete data") {
+    val data = eventsSample()
+    val batch = streaming.StreamOps.session(Tables.events(spark, dir))
+    assertSame(throughStream("t_session", data, streaming.StreamOps.session), batch)
+  }
+
+  test("dedup: stream == batch on complete data") {
+    val data = eventsSample()
+    val batch = streaming.StreamOps.dedup(Tables.events(spark, dir))
+    assertSame(throughStream("t_dedup", data, streaming.StreamOps.dedup), batch)
+  }
+
+  test("watermark drops events later than 10 minutes behind max ts") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+    val q = agg.writeStream.format("memory").queryName("t_wm")
+      .outputMode(OutputMode.Append()).start()
+    def ev(id: Long, t: String) =
+      Ev(id, Timestamp.valueOf(t), 1L, "click", 1.0)
+    try {
+      mem.addData(Seq(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // advance watermark far past hour 10 (max ts 13:00 => wm 12:50)
+      mem.addData(Seq(ev(3, "2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      // late event for hour 10 — behind the watermark, must be dropped
+      mem.addData(Seq(ev(4, "2024-01-01 10:40:00")))
+      q.processAllAvailable()
+      // close remaining windows so everything emits
+      mem.addData(Seq(ev(5, "2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val hour10 = sp.table("t_wm")
+        .where(col("ws") === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .agg(sum("cnt")).collect()(0).getLong(0)
+      assert(hour10 == 2, s"late event leaked into closed window: cnt=$hour10")
+    } finally q.stop()
+  }
+
+  test("stateful funnel via flatMapGroupsWithState == batch funnel") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val data = eventsSample()
+    val mem = MemoryStream[Ev]
+
+    def us(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val fn = (uid: Long, it: Iterator[Ev], st: GroupState[FState]) => {
+      val st0 = st.getOption.getOrElse(FState(None, None, None))
+      var (s, c, p) = (st0.s, st0.c, st0.p)
+      it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+        val t = us(e.ts)
+        e.event_type match {
+          case "signup" if s.isEmpty || t < s.get => s = Some(t)
+          case "click" if s.exists(_ <= t) && (c.isEmpty || t < c.get) => c = Some(t)
+          case "purchase" if c.exists(_ <= t) && (p.isEmpty || t < p.get) => p = Some(t)
+          case _ =>
+        }
+      }
+      st.update(FState(s, c, p))
+      Iterator((uid, s, c, p))
+    }
+    val q = mem.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("user_id", "s", "c", "p")
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      data.grouped(math.max(1, data.size / 3)).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+      // final state per user: with a ts-ordered feed each slot is set at
+      // most once (min over emissions == final value; nulls ignored)
+      val streamed = sp.table("t_funnel")
+        .groupBy("user_id").agg(min("s").as("s"), min("c").as("c"), min("p").as("p"))
+      val batch = streaming.StreamOps.funnel(Tables.events(spark, dir))
+        .select(col("user_id"), unix_micros(col("signup_ts")).as("bs"),
+          unix_micros(col("click_ts")).as("bc"),
+          unix_micros(col("purchase_ts")).as("bp"))
+      val joined = streamed.join(batch, "user_id")
+      val bad = joined.where(
+        !(col("s") <=> col("bs")) || !(col("c") <=> col("bc")) ||
+          !(col("p") <=> col("bp"))).count()
+      assert(bad == 0, "stateful funnel diverges from batch twin")
+    } finally q.stop()
+  }
+}
