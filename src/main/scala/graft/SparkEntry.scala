@@ -19,6 +19,8 @@ object SparkEntry {
     operators.SetSorts,
     operators.TextOps,
     operators.VectorOps,
+    operators.ExtraText,
+    operators.ExtraVector,
     streaming.StreamOps,
     functions.Scalars,
     functions.Udx

@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data-pipeline text analysis beyond the SURVEY §2.8 core:
+  * language-ID, quality scoring, BPE-ish token counting, document
+  * fingerprinting, SimHash bucketing, word-4-gram Jaccard.
+  *
+  * All operators are explode/join/agg shapes (scale like the §2.8
+  * core); every hash is arithmetic (§2.0.7) so the DuckDB oracle
+  * computes identical integers.
+  */
+object ExtraText extends graft.QueryModule {
+
+  /** Stop-list-overlap language ID (n-gram/stopword heuristic). The
+    * fixture corpus is ASCII data-engineering words for every lang
+    * label, so the interesting part is the OPERATOR (per-language
+    * lexicon join + argmax with deterministic tie order), not accuracy. */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val lex = s.createDataFrame(Seq(
+      ("en", "the"), ("en", "and"), ("en", "of"), ("en", "to"), ("en", "in"),
+      ("es", "el"), ("es", "la"), ("es", "de"), ("es", "que"), ("es", "y"),
+      ("fr", "le"), ("fr", "la"), ("fr", "de"), ("fr", "et"), ("fr", "les"),
+      ("de", "der"), ("de", "die"), ("de", "und"), ("de", "das"), ("de", "ist"),
+      ("zh", "de"), ("zh", "shi"), ("zh", "zai"), ("zh", "le"), ("zh", "he")))
+      .toDF("cand", "token")
+    val hits = TextOps.tokens(s, dir).join(broadcast(lex), "token")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("cand") === "en", 1).otherwise(0)).as("en_hits"),
+        sum(when(col("cand") === "de", 1).otherwise(0)).as("de_hits"),
+        sum(when(col("cand") === "es", 1).otherwise(0)).as("es_hits"),
+        sum(when(col("cand") === "fr", 1).otherwise(0)).as("fr_hits"),
+        sum(when(col("cand") === "zh", 1).otherwise(0)).as("zh_hits"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L)
+      .withColumn("pred",
+        when(col("en_hits") === 0 && col("de_hits") === 0 &&
+          col("es_hits") === 0 && col("fr_hits") === 0 &&
+          col("zh_hits") === 0, "und")
+          .when(col("en_hits") >= greatest(col("de_hits"), col("es_hits"),
+            col("fr_hits"), col("zh_hits")), "en")
+          .when(col("de_hits") >= greatest(col("es_hits"), col("fr_hits"),
+            col("zh_hits")), "de")
+          .when(col("es_hits") >= greatest(col("fr_hits"), col("zh_hits")), "es")
+          .when(col("fr_hits") >= col("zh_hits"), "fr")
+          .otherwise("zh"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic quality score: length cap x non-stopword mass x lexical
+    * diversity — the filters an LLM-corpus pipeline runs per document. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokens(s, dir)
+    val stop = t.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc).limit(10).select("token")
+    val perDoc = t.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("token")).as("n_distinct"))
+    val stopHits = t.join(broadcast(stop), "token")
+      .groupBy("doc_id").agg(count(lit(1)).as("stop_hits"))
+    perDoc.join(stopHits, Seq("doc_id"), "left").na.fill(0L)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("stop_hits").cast("double") / col("n_tokens"), 6)
+          .as("stop_ratio"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("uniq_ratio"),
+        round(least(col("n_tokens").cast("double") / 100, lit(1.0)) *
+          (lit(1.0) - col("stop_hits").cast("double") / col("n_tokens")) *
+          (col("n_distinct").cast("double") / col("n_tokens")), 6)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting three ways: whitespace split, BPE-ish regex pieces,
+    * and a ceil(len/4) subword estimate. */
+  def textTokensBpe(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("re_tokens"),
+        expr("aggregate(toks, 0L, (a, x) -> a + ((length(x) + 3) div 4))")
+          .as("bpe_est"))
+      .orderBy("doc_id")
+
+  private val P = 1000000007L
+  private val B = 131L
+  /** B^i mod P for i in 0..31, shared literal on both engines. */
+  val powTable: IndexedSeq[Long] =
+    (0 until 32).scanLeft(1L)((acc, _) => acc * B % P).take(32).toIndexedSeq
+  private val powValuesSql =
+    powTable.zipWithIndex.map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+
+  /** Document fingerprinting: Karp-Rabin polynomial hash over the first
+    * 32 chars (rolling-hash family) + a position-weighted full-text sum
+    * hash. Pure int64 arithmetic -> identical across engines. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val powDf = s.createDataFrame(
+      powTable.zipWithIndex.map { case (p, i) => (i + 1, p) }).toDF("i", "pw")
+    val chars = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text))")).as("i"))
+      .select(col("doc_id"), col("i"),
+        ascii(expr("substring(text, i, 1)")).cast("long").as("code"))
+    val kr = chars.where(col("i") <= 32)
+      .join(broadcast(powDf), "i")
+      .groupBy("doc_id")
+      .agg((sum(col("code") * col("pw")) % P).as("fp_prefix"))
+    val full = chars.groupBy("doc_id")
+      .agg((sum(col("code") * ((col("i") % 64) + 1)) % P).as("fp_full"))
+    kr.join(full, "doc_id").orderBy("doc_id")
+  }
+
+  /** SimHash (16-bit) over tf-weighted token hashes; docs sharing a
+    * simhash form near-dup buckets. Emits buckets with >= 2 docs —
+    * bounded output at any scale (pair listing is the downstream step). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = TextOps.tokens(s, dir)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val vocab = tf.select("token").distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy("token")).cast("long"))
+    val hashed = tf.join(vocab, "token")
+      .withColumn("h", (lit(1103515245L) * col("tid") + lit(12345L)) % lit(2147483647L))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$j")
+    }
+    val sig = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 16).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+    sig.groupBy("simhash")
+      .agg(count(lit(1)).as("bucket_size"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .where(col("bucket_size") >= 2)
+      .orderBy(col("bucket_size").desc, col("simhash").asc)
+  }
+
+  /** Word-4-gram Jaccard near-dup pairs — a sparser feature than the
+    * §2.8 3-shingles (31^4 possible grams): only true near-dups share
+    * mass, so the shingle equi-join stays tiny even at 100 TB. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .withColumn("l", split(lower(col("text")), " "))
+      .where(size(col("l")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(l)-3), " +
+          "i -> concat(l[i-1], ' ', l[i], ' ', l[i+1], ' ', l[i+2])))"))
+        .as("gram"))
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = g.select(col("doc_id").as("d1"), col("gram"))
+      .join(g.select(col("doc_id").as("d2"), col("gram")), "gram")
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")), 6))
+      .where(col("jaccard") >= 0.6)
+      .select("d1", "d2", "inter", "jaccard")
+      .orderBy(col("jaccard").desc, col("d1").asc, col("d2").asc)
+      .limit(100)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_langid" -> textLangid,
+    "q_text_quality" -> textQuality,
+    "q_text_tokens_bpe" -> textTokensBpe,
+    "q_text_fingerprint" -> textFingerprint,
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccard)
+
+  private val tokensSql =
+    """SELECT doc_id, tokens[s] AS token
+      |FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens)+1)) AS s
+      |      FROM (SELECT doc_id, str_split(lower(text), ' ') AS tokens FROM documents))
+      |WHERE tokens[s] <> ''""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_langid" ->
+      s"""WITH tok AS ($tokensSql),
+        |lex(cand, token) AS (VALUES
+        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+        |  ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
+        |  ('fr','le'),('fr','la'),('fr','de'),('fr','et'),('fr','les'),
+        |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
+        |  ('zh','de'),('zh','shi'),('zh','zai'),('zh','le'),('zh','he')),
+        |hits AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN cand='en' THEN 1 ELSE 0 END) AS en_hits,
+        |    SUM(CASE WHEN cand='de' THEN 1 ELSE 0 END) AS de_hits,
+        |    SUM(CASE WHEN cand='es' THEN 1 ELSE 0 END) AS es_hits,
+        |    SUM(CASE WHEN cand='fr' THEN 1 ELSE 0 END) AS fr_hits,
+        |    SUM(CASE WHEN cand='zh' THEN 1 ELSE 0 END) AS zh_hits
+        |  FROM tok JOIN lex USING (token) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(en_hits, 0) AS en_hits, COALESCE(de_hits, 0) AS de_hits,
+        |  COALESCE(es_hits, 0) AS es_hits, COALESCE(fr_hits, 0) AS fr_hits,
+        |  COALESCE(zh_hits, 0) AS zh_hits,
+        |  CASE
+        |    WHEN COALESCE(en_hits,0)=0 AND COALESCE(de_hits,0)=0
+        |     AND COALESCE(es_hits,0)=0 AND COALESCE(fr_hits,0)=0
+        |     AND COALESCE(zh_hits,0)=0 THEN 'und'
+        |    WHEN COALESCE(en_hits,0) >= GREATEST(COALESCE(de_hits,0),
+        |      COALESCE(es_hits,0), COALESCE(fr_hits,0), COALESCE(zh_hits,0)) THEN 'en'
+        |    WHEN COALESCE(de_hits,0) >= GREATEST(COALESCE(es_hits,0),
+        |      COALESCE(fr_hits,0), COALESCE(zh_hits,0)) THEN 'de'
+        |    WHEN COALESCE(es_hits,0) >= GREATEST(COALESCE(fr_hits,0),
+        |      COALESCE(zh_hits,0)) THEN 'es'
+        |    WHEN COALESCE(fr_hits,0) >= COALESCE(zh_hits,0) THEN 'fr'
+        |    ELSE 'zh' END AS pred
+        |FROM documents d LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH tok AS ($tokensSql),
+        |stop AS (SELECT token FROM (
+        |  SELECT token, count(*) AS c FROM tok GROUP BY token
+        |  ORDER BY c DESC, token ASC LIMIT 10)),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |         COUNT(DISTINCT token) AS n_distinct FROM tok GROUP BY doc_id),
+        |sh AS (SELECT doc_id, COUNT(*) AS stop_hits FROM tok
+        |       WHERE token IN (SELECT token FROM stop) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(CAST(COALESCE(stop_hits, 0) AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+        |  ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) *
+        |    (1.0 - CAST(COALESCE(stop_hits, 0) AS DOUBLE) / n_tokens) *
+        |    (CAST(n_distinct AS DOUBLE) / n_tokens), 6) AS quality
+        |FROM pd LEFT JOIN sh USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens,
+        |  CAST(list_sum(list_transform(
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+        |    x -> (length(x) + 3) // 4)) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""WITH chars AS (
+        |  SELECT doc_id, i, CAST(ascii(substring(text, i, 1)) AS BIGINT) AS code
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i
+        |        FROM documents)),
+        |pw(i, pw) AS (VALUES $powValuesSql),
+        |kr AS (SELECT doc_id, SUM(code * pw.pw) % 1000000007 AS fp_prefix
+        |       FROM chars JOIN pw USING (i) WHERE chars.i <= 32 GROUP BY doc_id),
+        |fl AS (SELECT doc_id, SUM(code * ((i % 64) + 1)) % 1000000007 AS fp_full
+        |       FROM chars GROUP BY doc_id)
+        |SELECT doc_id, fp_prefix, fp_full FROM kr JOIN fl USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_simhash" -> {
+      val bitSumsSql = (0 until 16).map { j =>
+        s"SUM(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN tf ELSE -tf END) AS s$j"
+      }.mkString(",\n        |    ")
+      val simhashSql = (0 until 16).map { j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH tok AS ($tokensSql),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |vocab AS (SELECT token, CAST(dense_rank() OVER (ORDER BY token) AS BIGINT) AS tid
+        |          FROM (SELECT DISTINCT token FROM tf)),
+        |hashed AS (SELECT doc_id, tf, (1103515245 * tid + 12345) % 2147483647 AS h
+        |           FROM tf JOIN vocab USING (token)),
+        |bits AS (SELECT doc_id,
+        |    $bitSumsSql
+        |  FROM hashed GROUP BY doc_id),
+        |sig AS (SELECT doc_id, $simhashSql AS simhash FROM bits)
+        |SELECT simhash, COUNT(*) AS bucket_size,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM sig GROUP BY simhash HAVING COUNT(*) >= 2
+        |ORDER BY bucket_size DESC, simhash ASC""".stripMargin
+    },
+    "q_dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+        |     for i in range(1, len(l)-2)])) AS gram
+        |  FROM (SELECT doc_id, str_split(lower(text), ' ') AS l FROM documents)
+        |  WHERE len(l) >= 4),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2)
+        |SELECT d1, d2, inter,
+        |  ROUND(CAST(inter AS DOUBLE) / (z1.sz + z2.sz - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes z1 ON z1.doc_id = d1
+        |JOIN sizes z2 ON z2.doc_id = d2
+        |WHERE CAST(inter AS DOUBLE) / (z1.sz + z2.sz - inter) >= 0.6
+        |ORDER BY jaccard DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin)
+}

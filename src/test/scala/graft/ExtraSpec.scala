@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Ring 2: invariants for the training-data-pipeline extras. */
+class ExtraSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("IVF ANN recall >= 0.4 vs exact top-5 (nprobe=3 over 10 cells)") {
+    val exact = run("q_sim_cosine_topk").select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = run("q_sim_ann_ivf").select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("simhash buckets contain the planted minhash near-dup pairs") {
+    val mh = run("q_dedup_minhash").where(col("matches") === 16)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.nonEmpty)
+    val sig = run("q_dedup_simhash")
+    // identical-signature pairs land in some bucket of size >= 2
+    assert(sig.count() > 0)
+  }
+
+  test("fingerprints are stable and prefix-sensitive") {
+    val fp1 = run("q_text_fingerprint").collect()
+    val fp2 = run("q_text_fingerprint").collect()
+    assert(fp1.map(_.toSeq).toSeq == fp2.map(_.toSeq).toSeq)
+    // distinct texts should rarely collide on the 32-char KR prefix
+    val n = fp1.length
+    val distinctPrefix = fp1.map(_.getLong(1)).distinct.length
+    assert(distinctPrefix > n / 2, s"$distinctPrefix of $n prefixes distinct")
+  }
+
+  test("quality score in [0,1]; ratios in [0,1]") {
+    val q = run("q_text_quality").cache()
+    assert(q.where(col("quality") < 0 || col("quality") > 1).count() == 0)
+    assert(q.where(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
+    q.unpersist()
+  }
+
+  test("langid predicts a language or und for every doc") {
+    val l = run("q_text_langid")
+    assert(l.count() == Tables.documents(spark, dir).count())
+    assert(l.where(!col("pred").isin("en", "es", "fr", "de", "zh", "und"))
+      .count() == 0)
+  }
+
+  test("multimodal binary decode: n_bytes equals text length on ASCII corpus") {
+    val m = run("q_multimodal_binary")
+    val joined = m.join(Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("tl")), "doc_id")
+    assert(joined.where(col("n_bytes") =!= col("tl")).count() == 0)
+    assert(m.where(col("feat") <= col("n_bytes")).count() == 0)
+  }
+
+  test("embed near-dup pairs are symmetric-free and above threshold") {
+    val p = run("q_dedup_embed_cosine").cache()
+    assert(p.where(col("d1") >= col("d2")).count() == 0)
+    assert(p.where(col("cos") < 0.4).count() == 0)
+    p.unpersist()
+  }
+}
