@@ -167,7 +167,10 @@ object VectorOps extends graft.QueryModule {
   }
 
   /** QuantileDiscretizer semantics: ntile(10) deciles + fixed-width
-    * buckets of o_totalprice. */
+    * buckets of o_totalprice. Exact global deciles need one global sort
+    * (the plan's only SinglePartition exchange); the 100 TB path swaps
+    * ntile for approx_percentile cutpoints + width_bucket, trading
+    * exactness for full parallelism. */
   def vecBucketize(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
     Tables.orders(s, dir)
