@@ -130,18 +130,26 @@ object VectorOps extends graft.QueryModule {
       .orderBy("lang", "label")
 
   /** Per-label centroids (64-dim avg via posexplode -> (label, dim)
-    * agg) + top-5 outliers per label by distance-to-own-centroid.
+    * agg, re-collected into one array per label) + top-5 outliers per
+    * label by distance-to-own-centroid. The distance is an UNROLLED
+    * codegen'd sum((e[i]-ce[i])^2) against the 10-row broadcast
+    * centroid table — no second explode join (3.9 s -> ~1 s at sf0.1).
     * Ranked on the ROUNDED distance with vec_id tie-break. */
   def vecCentroids(s: SparkSession, dir: String): DataFrame = {
     val exploded = emb(s, dir)
       .select(col("vec_id"), col("label"), posexplode(col("e")))
       .select(col("vec_id"), col("label"), col("pos").as("dim"), col("col").as("v"))
-    val centroids = exploded.groupBy("label", "dim")
+    val centArr = exploded.groupBy("label", "dim")
       .agg(avg(col("v")).as("c"))
-    val dist = exploded.join(centroids, Seq("label", "dim"))
-      .groupBy("vec_id", "label")
-      .agg(round(sqrt(sum((col("v") - col("c")) * (col("v") - col("c")))), 6)
-        .as("dist"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+      .select(col("label"), expr("transform(pairs, p -> p.c)").as("ce"))
+    val diff2 = (0 until 64).map { i =>
+      val d = col("e").getItem(i) - col("ce").getItem(i)
+      d * d
+    }.reduce(_ + _)
+    val dist = emb(s, dir).join(broadcast(centArr), "label")
+      .select(col("label"), col("vec_id"), round(sqrt(diff2), 6).as("dist"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("dist").desc, col("vec_id").asc)
     dist.withColumn("rn", row_number().over(w))

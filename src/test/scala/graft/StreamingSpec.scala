@@ -60,6 +60,12 @@ class StreamingSpec extends AnyFunSuite {
     assertSame(throughStream("t_tumbling", data, streaming.StreamOps.tumbling), batch)
   }
 
+  test("sliding window: stream == batch on complete data") {
+    val data = eventsSample()
+    val batch = streaming.StreamOps.sliding(Tables.events(spark, dir))
+    assertSame(throughStream("t_sliding", data, streaming.StreamOps.sliding), batch)
+  }
+
   test("session window: stream == batch on complete data") {
     val data = eventsSample()
     val batch = streaming.StreamOps.session(Tables.events(spark, dir))
