@@ -42,7 +42,9 @@ object Udx extends graft.QueryModule {
 
   def udafTyped(s: SparkSession, dir: String): DataFrame = {
     val gm = udaf(GeoMean)
-    Tables.events(s, dir)
+    // geometric mean is defined on positive values; sf0.1 events contain
+    // value = 0 (ln(0) = -inf; DuckDB's ln errors outright)
+    Tables.events(s, dir).where(col("value") > 0)
       .groupBy("event_type")
       .agg(round(gm(col("value")), 4).as("geo_mean"),
         count(lit(1)).as("cnt"))
@@ -74,7 +76,8 @@ object Udx extends graft.QueryModule {
     "q_udaf_typed" ->
       """SELECT event_type, ROUND(exp(avg(ln(value))), 4) AS geo_mean,
         |  COUNT(*) AS cnt
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events WHERE value > 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_udtf_generator" ->
       """SELECT c_custkey, CAST(s AS BIGINT) AS pos, substring(c_name, s, 3) AS tri
         |FROM (SELECT c_custkey, c_name, unnest(range(1, length(c_name) - 1)) AS s

@@ -62,16 +62,16 @@ object ExtraText extends graft.QueryModule {
       countDistinct(col("token")).as("n_distinct"))
     val stopHits = t.join(broadcast(stop), "token")
       .groupBy("doc_id").agg(count(lit(1)).as("stop_hits"))
+    // ratios as EXACT parts-per-million via integer division (operands
+    // positive, so Spark `div` == DuckDB `//`): rounding a computed
+    // double ratio hits exact-half boundaries where the engines round
+    // differently — quality diverged by 1 ulp at sf0.1 (§2.0.2).
     perDoc.join(stopHits, Seq("doc_id"), "left").na.fill(0L)
       .select(col("doc_id"), col("n_tokens"),
-        round(col("stop_hits").cast("double") / col("n_tokens"), 6)
-          .as("stop_ratio"),
-        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
-          .as("uniq_ratio"),
-        round(least(col("n_tokens").cast("double") / 100, lit(1.0)) *
-          (lit(1.0) - col("stop_hits").cast("double") / col("n_tokens")) *
-          (col("n_distinct").cast("double") / col("n_tokens")), 6)
-          .as("quality"))
+        expr("(1000000 * stop_hits) div n_tokens").as("stop_ppm"),
+        expr("(1000000 * n_distinct) div n_tokens").as("uniq_ppm"),
+        expr("(1000000 * least(n_tokens, 100) * (n_tokens - stop_hits) * n_distinct) " +
+          "div (100 * n_tokens * n_tokens)").as("quality_ppm"))
       .orderBy("doc_id")
   }
 
@@ -228,11 +228,10 @@ object ExtraText extends graft.QueryModule {
         |sh AS (SELECT doc_id, COUNT(*) AS stop_hits FROM tok
         |       WHERE token IN (SELECT token FROM stop) GROUP BY doc_id)
         |SELECT doc_id, n_tokens,
-        |  ROUND(CAST(COALESCE(stop_hits, 0) AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-        |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
-        |  ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) *
-        |    (1.0 - CAST(COALESCE(stop_hits, 0) AS DOUBLE) / n_tokens) *
-        |    (CAST(n_distinct AS DOUBLE) / n_tokens), 6) AS quality
+        |  (1000000 * COALESCE(stop_hits, 0)) // n_tokens AS stop_ppm,
+        |  (1000000 * n_distinct) // n_tokens AS uniq_ppm,
+        |  (1000000 * LEAST(n_tokens, 100) * (n_tokens - COALESCE(stop_hits, 0)) * n_distinct)
+        |    // (100 * n_tokens * n_tokens) AS quality_ppm
         |FROM pd LEFT JOIN sh USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q_text_tokens_bpe" ->

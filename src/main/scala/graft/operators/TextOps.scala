@@ -51,14 +51,16 @@ object TextOps extends graft.QueryModule {
       |FROM (SELECT doc_id, str_split(lower(text), ' ') AS l FROM documents)
       |WHERE len(l) >= 3""".stripMargin
 
-  /** Per-doc token count + average token length (Tokenizer semantics). */
+  /** Per-doc token count + average token length (Tokenizer semantics).
+    * Average as EXACT ppm (integer div; positive operands) — rounding a
+    * computed double ratio is the §2.0.2 exact-half trap. */
   def textTokenize(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        round(expr("aggregate(toks, 0L, (a, x) -> a + length(x))").cast("double")
-          / size(col("toks")), 4).as("avg_tok_len"))
+        expr("(1000000 * aggregate(toks, 0L, (a, x) -> a + length(x))) " +
+          "div size(toks)").as("avg_tok_len_ppm"))
       .orderBy("doc_id")
 
   /** StopWordsRemover semantics with a DATA-DERIVED stop list (top-10
@@ -125,10 +127,9 @@ object TextOps extends graft.QueryModule {
       .groupBy("lang").agg(countDistinct(col("token")).as("vocab_size"))
     docStats.join(vocab, "lang")
       .select(col("lang"), col("n_docs"),
-        round(col("sum_chars").cast("double") / col("n_docs"), 4).as("avg_chars"),
+        expr("(1000000 * sum_chars) div n_docs").as("avg_chars_ppm"),
         col("vocab_size"),
-        round(col("sum_chars").cast("double") / col("sum_tokens"), 4)
-          .as("chars_per_token"))
+        expr("(1000000 * sum_chars) div sum_tokens").as("chars_per_token_ppm"))
       .orderBy("lang")
   }
 
@@ -233,7 +234,7 @@ object TextOps extends graft.QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_text_tokenize" ->
       """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4) AS avg_tok_len
+        |  (1000000 * CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)) // len(toks) AS avg_tok_len_ppm
         |FROM (SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS toks
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
@@ -275,9 +276,9 @@ object TextOps extends graft.QueryModule {
         |v AS (SELECT lang, COUNT(DISTINCT token) AS vocab_size
         |      FROM tok JOIN documents USING (doc_id) GROUP BY lang)
         |SELECT lang, n_docs,
-        |  ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 4) AS avg_chars,
+        |  (1000000 * sum_chars) // n_docs AS avg_chars_ppm,
         |  vocab_size,
-        |  ROUND(CAST(sum_chars AS DOUBLE) / sum_tokens, 4) AS chars_per_token
+        |  (1000000 * sum_chars) // sum_tokens AS chars_per_token_ppm
         |FROM d JOIN v USING (lang) ORDER BY lang""".stripMargin,
     "q_text_lexicon_score" ->
       s"""WITH tok AS ($tokensSql),

@@ -16,18 +16,27 @@ import graft.{Det, Tables}
 object Windows extends graft.QueryModule {
   import Det._
 
-  /** Ranking family over a provably-unique order (acctbal, custkey). */
+  /** Ranking family over a provably-unique order (acctbal, custkey).
+    * percent_rank/cume_dist are emitted as EXACT ppm integers computed
+    * from (rn, partition count) — rounding the builtins' double output
+    * hits exact-half boundaries (k/n with n=600 at sf0.1 produced a
+    * 1-ulp Spark/DuckDB divergence; §2.0.2). With a unique order,
+    * percent_rank = (rn-1)/(n-1) and cume_dist = rn/n identically. */
   def rankFamily(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val wAll = Window.partitionBy(col("c_nationkey"))
     Tables.customer(s, dir)
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
         row_number().over(w).as("rn"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        count(lit(1)).over(wAll).as("n"))
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        col("rn"), col("rnk"), col("drnk"), col("quartile"),
+        expr("(1000000 * (rn - 1)) div (n - 1)").as("pct_rank_ppm"),
+        expr("(1000000 * rn) div n").as("cume_ppm"))
       .orderBy("c_nationkey", "rn")
   }
 
@@ -109,13 +118,16 @@ object Windows extends graft.QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "q_win_rank" ->
-      """SELECT c_nationkey, c_custkey, c_acctbal,
-        |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
-        |  DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile,
-        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-        |  ROUND(CUME_DIST() OVER w, 6) AS cume
-        |FROM customer
-        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+      """SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk, quartile,
+        |  (1000000 * (rn - 1)) // (n - 1) AS pct_rank_ppm,
+        |  (1000000 * rn) // n AS cume_ppm
+        |FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+        |    DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile,
+        |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC))
         |ORDER BY c_nationkey, rn""".stripMargin,
     "q_win_lag_lead" ->
       """SELECT event_id, user_id,

@@ -38,10 +38,10 @@ class ExtraSpec extends AnyFunSuite {
     assert(distinctPrefix > n / 2, s"$distinctPrefix of $n prefixes distinct")
   }
 
-  test("quality score in [0,1]; ratios in [0,1]") {
+  test("quality score in [0, 1e6] ppm; ratios in [0, 1e6] ppm") {
     val q = run("q_text_quality").cache()
-    assert(q.where(col("quality") < 0 || col("quality") > 1).count() == 0)
-    assert(q.where(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
+    assert(q.where(col("quality_ppm") < 0 || col("quality_ppm") > 1000000).count() == 0)
+    assert(q.where(col("stop_ppm") < 0 || col("stop_ppm") > 1000000).count() == 0)
     q.unpersist()
   }
 

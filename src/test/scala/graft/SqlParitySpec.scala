@@ -37,13 +37,16 @@ class SqlParitySpec extends AnyFunSuite {
 
   test("window rank family: DSL == spark.sql") {
     sameAs("q_win_rank",
-      """SELECT c_nationkey, c_custkey, c_acctbal,
-        |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
-        |  DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile,
-        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-        |  ROUND(CUME_DIST() OVER w, 6) AS cume
-        |FROM customer
-        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+      """SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk, quartile,
+        |  (1000000 * (rn - 1)) div (n - 1) AS pct_rank_ppm,
+        |  (1000000 * rn) div n AS cume_ppm
+        |FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+        |    DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile,
+        |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC))
         |ORDER BY c_nationkey, rn""".stripMargin)
   }
 }
