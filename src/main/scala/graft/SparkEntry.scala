@@ -21,6 +21,7 @@ object SparkEntry {
     operators.VectorOps,
     operators.ExtraText,
     operators.ExtraVector,
+    operators.Misc,
     streaming.StreamOps,
     functions.Scalars,
     functions.Udx
