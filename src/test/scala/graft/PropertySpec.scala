@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Ring 2 property tests (SURVEY.md §5) — pure-Scala checks of the
+  * arithmetic cores shared with the oracle SQL (no SparkSession: these
+  * pin ALGEBRA, the Spark specs pin execution). */
+object PropertySpec extends Properties("graft.arithmetic") {
+
+  private val P = 2147483647L
+  private def minhashSlot(ids: Set[Long], a: Long, b: Long): Long =
+    ids.map(id => (a * id + b) % P).min
+
+  private val idSet: Gen[Set[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(1L, 1000000L)).map(_.toSet)
+
+  // MinHash is a semilattice hom: slot(A ∪ B) == min(slot(A), slot(B))
+  // for every permutation — the property that makes signatures
+  // mergeable across partitions (map-side combine correctness).
+  property("minhash slot distributes over union") =
+    forAll(idSet, idSet) { (xs, ys) =>
+      operators.TextOps.permTable.forall { case (_, a, b) =>
+        minhashSlot(xs ++ ys, a, b) ==
+          math.min(minhashSlot(xs, a, b), minhashSlot(ys, a, b))
+      }
+    }
+
+  // Permutation constants must actually permute: two distinct ids map
+  // to distinct hashes (a coprime to P, which is prime).
+  property("minhash permutations are injective on ids") =
+    forAll(Gen.chooseNum(1L, 1000000L), Gen.chooseNum(1L, 1000000L)) { (x, y) =>
+      x == y || operators.TextOps.permTable.forall { case (_, a, b) =>
+        (a * x + b) % P != (a * y + b) % P
+      }
+    }
+
+  private def jaccard(a: Set[Long], b: Set[Long]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else (a & b).size.toDouble / (a | b).size
+
+  property("jaccard: bounded, symmetric, self = 1") =
+    forAll(idSet, idSet) { (a, b) =>
+      val j = jaccard(a, b)
+      j >= 0.0 && j <= 1.0 && j == jaccard(b, a) && jaccard(a, a) == 1.0
+    }
+
+  // Karp-Rabin power table is consistent: pow(i+1) = pow(i)*B mod P'.
+  property("fingerprint power table telescopes") = Prop {
+    val pt = operators.ExtraText.powTable
+    (0 until pt.size - 1).forall(i => pt(i + 1) == pt(i) * 131L % 1000000007L)
+  }
+
+  // Sessionization algebra: session count == 1 + #(gaps >= G) for a
+  // sorted event sequence — the invariant both session_window and the
+  // lag-gap oracle implement.
+  property("session count = 1 + gaps >= G") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 10000L)), Gen.chooseNum(1L, 2000L)) {
+      (ts, gap) =>
+        val sorted = ts.sorted
+        val gaps = sorted.zip(sorted.tail).map { case (a, b) => b - a }
+        val expected = 1 + gaps.count(_ >= gap)
+        // reference sessionizer (cumulative new-session markers)
+        val marks = true +: sorted.zip(sorted.tail).map { case (a, b) => b - a >= gap }
+        marks.count(identity) == expected
+    }
+
+  // ppm integer ratios: exact, order-free, and within 1 ulp of the
+  // real ratio — the §2.0.2 replacement for ROUND(double).
+  property("ppm ratio exact within 1/1e6") =
+    forAll(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(1L, 1000000L)) { (num, den) =>
+      val ppm = (1000000L * num) / den
+      val real = num.toDouble / den
+      ppm <= real * 1000000 + 1e-6 && ppm >= real * 1000000 - 1
+    }
+}
