@@ -58,11 +58,65 @@ object Misc extends graft.QueryModule {
         length(expr("substring(text, start, 100)")).cast("long").as("chunk_len"))
       .orderBy("doc_id", "start")
 
+  /** Deterministic mode (most frequent category): built-in mode() has
+    * engine-specific tie behavior, so the modal value is selected via
+    * rank over (count DESC, value ASC) — exact on both engines. */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.orders(s, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("mode_cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** HashingTF semantics with an ENGINE-NEUTRAL hash: MLlib buckets
+    * tokens by murmur3 mod numFeatures (engine-specific); here the
+    * bucket is an affine map of the vocab id mod 64 — identical
+    * bucketed-count shape, §2.0.7 arithmetic-hash rule. */
+  def textHashingTf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = TextOps.tokens(s, dir)
+    val vocab = t.select("token").distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy("token")).cast("long"))
+    t.join(vocab, "token")
+      .withColumn("bucket", (lit(1103515245L) * col("tid") + lit(12345L)) % 64)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  /** Correlated scalar subqueries (Catalyst decorrelates them into
+    * joins — §4.1): customers above their nation's average balance.
+    * The comparison is EXACT decimal (balance*count > sum) — comparing
+    * against a computed double average would flip membership for rows
+    * within float noise of the boundary. */
+  def subCorrelated(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_sub_customer")
+    s.sql(
+      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+        |FROM graft_sub_customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+        |      (SELECT COUNT(*) FROM graft_sub_customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+        |       FROM graft_sub_customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pivot" -> aggPivot,
     "q_agg_percentile_approx" -> aggPercentileApprox,
     "q_typed_dataset" -> typedDataset,
-    "q_text_chunk" -> textChunk)
+    "q_text_chunk" -> textChunk,
+    "q_agg_mode" -> aggMode,
+    "q_text_hashing_tf" -> textHashingTf,
+    "q_sub_correlated" -> subCorrelated)
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pivot" ->
@@ -80,5 +134,34 @@ object Misc extends graft.QueryModule {
         |  CAST(length(substring(text, s, 100)) AS BIGINT) AS chunk_len
         |FROM (SELECT doc_id, text, unnest(range(1, length(text)+1, 80)) AS s
         |      FROM documents)
-        |ORDER BY doc_id, start""".stripMargin)
+        |ORDER BY doc_id, start""".stripMargin,
+    "q_agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "q_text_hashing_tf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, tokens[s] AS token
+        |  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens)+1)) AS s
+        |        FROM (SELECT doc_id, str_split(lower(text), ' ') AS tokens FROM documents))
+        |  WHERE tokens[s] <> ''),
+        |vocab AS (SELECT token, CAST(dense_rank() OVER (ORDER BY token) AS BIGINT) AS tid
+        |          FROM (SELECT DISTINCT token FROM tok))
+        |SELECT doc_id, (1103515245 * tid + 12345) % 64 AS bucket, COUNT(*) AS cnt
+        |FROM tok JOIN vocab USING (token)
+        |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+    "q_sub_correlated" ->
+      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+        |      (SELECT COUNT(*) FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+        |       FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
 }
