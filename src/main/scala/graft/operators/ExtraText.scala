@@ -201,9 +201,11 @@ object ExtraText extends graft.QueryModule {
         |    SUM(CASE WHEN cand='zh' THEN 1 ELSE 0 END) AS zh_hits
         |  FROM tok JOIN lex USING (token) GROUP BY doc_id)
         |SELECT d.doc_id,
-        |  COALESCE(en_hits, 0) AS en_hits, COALESCE(de_hits, 0) AS de_hits,
-        |  COALESCE(es_hits, 0) AS es_hits, COALESCE(fr_hits, 0) AS fr_hits,
-        |  COALESCE(zh_hits, 0) AS zh_hits,
+        |  CAST(COALESCE(en_hits, 0) AS BIGINT) AS en_hits,
+        |  CAST(COALESCE(de_hits, 0) AS BIGINT) AS de_hits,
+        |  CAST(COALESCE(es_hits, 0) AS BIGINT) AS es_hits,
+        |  CAST(COALESCE(fr_hits, 0) AS BIGINT) AS fr_hits,
+        |  CAST(COALESCE(zh_hits, 0) AS BIGINT) AS zh_hits,
         |  CASE
         |    WHEN COALESCE(en_hits,0)=0 AND COALESCE(de_hits,0)=0
         |     AND COALESCE(es_hits,0)=0 AND COALESCE(fr_hits,0)=0
@@ -248,9 +250,9 @@ object ExtraText extends graft.QueryModule {
         |  FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i
         |        FROM documents)),
         |pw(i, pw) AS (VALUES $powValuesSql),
-        |kr AS (SELECT doc_id, SUM(code * pw.pw) % 1000000007 AS fp_prefix
+        |kr AS (SELECT doc_id, CAST(SUM(code * pw.pw) % 1000000007 AS BIGINT) AS fp_prefix
         |       FROM chars JOIN pw USING (i) WHERE chars.i <= 32 GROUP BY doc_id),
-        |fl AS (SELECT doc_id, SUM(code * ((i % 64) + 1)) % 1000000007 AS fp_full
+        |fl AS (SELECT doc_id, CAST(SUM(code * ((i % 64) + 1)) % 1000000007 AS BIGINT) AS fp_full
         |       FROM chars GROUP BY doc_id)
         |SELECT doc_id, fp_prefix, fp_full FROM kr JOIN fl USING (doc_id)
         |ORDER BY doc_id""".stripMargin,

@@ -129,13 +129,13 @@ object ExtraVector extends graft.QueryModule {
     "q_multimodal_binary" ->
       """WITH ch AS (
         |  SELECT doc_id,
-        |    SUM(CASE WHEN i <= 16 THEN ascii(substring(text, i, 1)) ELSE 0 END) AS head
+        |    CAST(SUM(CASE WHEN i <= 16 THEN ascii(substring(text, i, 1)) ELSE 0 END) AS BIGINT) AS head
         |  FROM (SELECT doc_id, text, unnest(range(1, strlen(text)+1)) AS i
         |        FROM documents)
         |  GROUP BY doc_id)
         |SELECT c.doc_id, 'text/plain' AS mime,
         |  CAST(strlen(d.text) AS BIGINT) AS n_bytes,
-        |  c.head + strlen(d.text) AS feat
+        |  CAST(c.head + strlen(d.text) AS BIGINT) AS feat
         |FROM ch c JOIN documents d USING (doc_id)
         |ORDER BY doc_id""".stripMargin)
 }

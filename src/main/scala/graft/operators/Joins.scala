@@ -27,7 +27,7 @@ object Joins extends graft.QueryModule {
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("line_cnt"),
-        sum(dec2("l_quantity")).cast("decimal(18,2)").as("sum_qty"))
+        sum(dec2("l_quantity")).cast("double").as("sum_qty"))
       .orderBy("p_brand")
 
   /** Fact ⋈ fact via sort-merge (hinted; the strategy Spark picks for
@@ -37,7 +37,7 @@ object Joins extends graft.QueryModule {
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("line_cnt"),
-        sum(dec2("l_extendedprice")).cast("decimal(18,2)").as("sum_price"))
+        sum(dec2("l_extendedprice")).cast("double").as("sum_price"))
       .orderBy("o_orderpriority")
 
   /** Same pair via shuffle-hash (no sort; build side hashed per
@@ -48,7 +48,7 @@ object Joins extends graft.QueryModule {
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("line_cnt"),
-        sum(dec2("l_quantity")).cast("decimal(18,2)").as("sum_qty"))
+        sum(dec2("l_quantity")).cast("double").as("sum_qty"))
       .orderBy("o_orderstatus")
 
   /** 5-way snowflake: one fact⋈fact shuffle, dims broadcast. */
@@ -62,7 +62,7 @@ object Joins extends graft.QueryModule {
       .join(broadcast(Tables.region(s, dir)),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(sum(revenue).cast("decimal(18,4)").as("sum_revenue"),
+      .agg(sum(revenue).cast("double").as("sum_revenue"),
         count(lit(1)).as("line_cnt"))
       .orderBy("r_name", "n_name")
 
@@ -74,7 +74,7 @@ object Joins extends graft.QueryModule {
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("order_cnt"),
         coalesce(sum(dec2("o_totalprice")), lit(0))
-          .cast("decimal(18,2)").as("sum_total"))
+          .cast("double").as("sum_total"))
       .orderBy("c_custkey")
 
   /** Full outer over per-nation customer vs supplier aggregates (at
@@ -177,7 +177,7 @@ object Joins extends graft.QueryModule {
         col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("line_cnt"),
-        sum(dec2("l_quantity")).cast("decimal(18,2)").as("sum_qty"))
+        sum(dec2("l_quantity")).cast("double").as("sum_qty"))
       .orderBy("o_orderstatus")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -197,23 +197,23 @@ object Joins extends graft.QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_join_broadcast" ->
       """SELECT p_brand, COUNT(*) AS line_cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size < 10
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_join_sortmerge" ->
       """SELECT o_orderpriority, COUNT(*) AS line_cnt,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_shuffle_hash" ->
       """SELECT o_orderstatus, COUNT(*) AS line_cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_join_multiway" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_revenue,
         |  COUNT(*) AS line_cnt
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -223,7 +223,7 @@ object Joins extends graft.QueryModule {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q_join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS order_cnt,
-        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DECIMAL(18,2)) AS sum_total
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS sum_total
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q_join_full_outer" ->
@@ -264,7 +264,7 @@ object Joins extends graft.QueryModule {
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_join_interval" ->
       """SELECT o_orderstatus, COUNT(*) AS line_cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY

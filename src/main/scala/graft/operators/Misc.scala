@@ -98,7 +98,7 @@ object Misc extends graft.QueryModule {
   def subCorrelated(s: SparkSession, dir: String): DataFrame = {
     Tables.customer(s, dir).createOrReplaceTempView("graft_sub_customer")
     s.sql(
-      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal
         |FROM graft_sub_customer c
         |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
         |      (SELECT COUNT(*) FROM graft_sub_customer c2
@@ -121,9 +121,9 @@ object Misc extends graft.QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_agg_pivot" ->
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_typed_dataset" ->
       """SELECT l_returnflag, COUNT(*) AS heavy_lines
@@ -155,7 +155,7 @@ object Misc extends graft.QueryModule {
         |FROM tok JOIN vocab USING (token)
         |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
     "q_sub_correlated" ->
-      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal
         |FROM customer c
         |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
         |      (SELECT COUNT(*) FROM customer c2

@@ -276,9 +276,9 @@ object TextOps extends graft.QueryModule {
         |v AS (SELECT lang, COUNT(DISTINCT token) AS vocab_size
         |      FROM tok JOIN documents USING (doc_id) GROUP BY lang)
         |SELECT lang, n_docs,
-        |  (1000000 * sum_chars) // n_docs AS avg_chars_ppm,
+        |  CAST((1000000 * sum_chars) // n_docs AS BIGINT) AS avg_chars_ppm,
         |  vocab_size,
-        |  (1000000 * sum_chars) // sum_tokens AS chars_per_token_ppm
+        |  CAST((1000000 * sum_chars) // sum_tokens AS BIGINT) AS chars_per_token_ppm
         |FROM d JOIN v USING (lang) ORDER BY lang""".stripMargin,
     "q_text_lexicon_score" ->
       s"""WITH tok AS ($tokensSql),

@@ -35,7 +35,11 @@ object Windows extends graft.QueryModule {
         count(lit(1)).over(wAll).as("n"))
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
         col("rn"), col("rnk"), col("drnk"), col("quartile"),
-        expr("(1000000 * (rn - 1)) div (n - 1)").as("pct_rank_ppm"),
+        // n=1 guard: pct_rank of a single-row partition is 0 by
+        // definition; unguarded, Spark's div returns NULL and DuckDB's
+        // // errors outright (ADVICE.md round 1).
+        expr("CASE WHEN n > 1 THEN (1000000 * (rn - 1)) div (n - 1) " +
+          "ELSE 0 END").as("pct_rank_ppm"),
         expr("(1000000 * rn) div n").as("cume_ppm"))
       .orderBy("c_nationkey", "rn")
   }
@@ -61,7 +65,7 @@ object Windows extends graft.QueryModule {
     Tables.orders(s, dir)
       .select(col("o_custkey"), col("o_orderkey"),
         sum(dec2("o_totalprice")).over(run)
-          .cast("decimal(18,2)").as("run_total"),
+          .cast("double").as("run_total"),
         round(sum(dec2("o_totalprice")).over(w7).cast("double") /
           count(lit(1)).over(w7), 4).as("avg7"))
       .orderBy("o_custkey", "o_orderkey")
@@ -77,19 +81,23 @@ object Windows extends graft.QueryModule {
       .withColumn("day_no", dayNo)
       .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
         sum(dec2("o_totalprice")).over(w)
-          .cast("decimal(18,2)").as("sum_30d"))
+          .cast("double").as("sum_30d"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** Top-3 parts by revenue per supplier (rank-filter pattern). */
+  /** Top-3 parts by revenue per supplier (rank-filter pattern). The
+    * rank orders on the EXACT decimal revenue; only the projected
+    * column is cast to double (output-type rule, see Aggregates). */
   def topkGroup(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(s, dir)
       .groupBy("l_suppkey", "l_partkey")
-      .agg(sum(revenue).cast("decimal(18,4)").as("part_revenue"))
+      .agg(sum(revenue).as("rev_dec"))
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("part_revenue").desc, col("l_partkey").asc)
+      .orderBy(col("rev_dec").desc, col("l_partkey").asc)
     rev.withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
+      .select(col("l_suppkey"), col("l_partkey"),
+        col("rev_dec").cast("double").as("part_revenue"), col("rn"))
       .orderBy("l_suppkey", "rn")
   }
 
@@ -119,7 +127,7 @@ object Windows extends graft.QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_win_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk, quartile,
-        |  (1000000 * (rn - 1)) // (n - 1) AS pct_rank_ppm,
+        |  CASE WHEN n > 1 THEN (1000000 * (rn - 1)) // (n - 1) ELSE 0 END AS pct_rank_ppm,
         |  (1000000 * rn) // n AS cume_ppm
         |FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal,
@@ -140,7 +148,7 @@ object Windows extends graft.QueryModule {
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total,
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w7 AS DOUBLE) /
         |    COUNT(*) OVER w7, 4) AS avg7
         |FROM orders
@@ -153,17 +161,17 @@ object Windows extends graft.QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
         |    (PARTITION BY o_custkey
         |     ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
-        |     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS sum_30d
+        |     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_win_topk_group" ->
-      """SELECT l_suppkey, l_partkey, part_revenue, rn FROM (
-        |  SELECT l_suppkey, l_partkey, part_revenue,
+      """SELECT l_suppkey, l_partkey, CAST(rev_dec AS DOUBLE) AS part_revenue, rn FROM (
+        |  SELECT l_suppkey, l_partkey, rev_dec,
         |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
-        |      ORDER BY part_revenue DESC, l_partkey ASC) AS rn
+        |      ORDER BY rev_dec DESC, l_partkey ASC) AS rn
         |  FROM (
         |    SELECT l_suppkey, l_partkey,
-        |      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS part_revenue
+        |      SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev_dec
         |    FROM lineitem GROUP BY l_suppkey, l_partkey)
         |) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
     "q_win_first_last" ->

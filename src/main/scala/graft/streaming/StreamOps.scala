@@ -26,7 +26,7 @@ object StreamOps extends graft.QueryModule {
   def tumbling(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(dec2("value")).cast("decimal(18,2)").as("sum_value"))
+        sum(dec2("value")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
@@ -41,7 +41,7 @@ object StreamOps extends graft.QueryModule {
   def session(events: DataFrame): DataFrame =
     events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec2("value")).cast("decimal(18,2)").as("sum_value"))
+        sum(dec2("value")).cast("double").as("sum_value"))
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("sum_value"),
         (unix_micros(col("session_window.end")) -
@@ -96,7 +96,7 @@ object StreamOps extends graft.QueryModule {
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_stream_sliding" ->
       """SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 - k * 900 AS BIGINT) * 1000000) AS window_start,
@@ -116,7 +116,7 @@ object StreamOps extends graft.QueryModule {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM marked)
         |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
         |  epoch_us(MAX(ts)) + 1800000000 - epoch_us(MIN(ts)) AS duration_us
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,

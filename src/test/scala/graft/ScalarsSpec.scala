@@ -43,6 +43,7 @@ class ScalarsSpec extends AnyFunSuite {
   test("array l2norm is positive and head3 has 3 elements") {
     val fa = run("q_fn_array")
     assert(fa.where(col("l2norm") <= 0).count() == 0)
-    assert(fa.where(size(col("head3")) =!= 3).count() == 0)
+    // head3 is projected as a comma-joined micro-int string (gate-safe)
+    assert(fa.where(size(split(col("head3"), ",")) =!= 3).count() == 0)
   }
 }
