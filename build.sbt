@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep stdout clean after a runMain finishes: Bench's contract is ONE
+// JSON line, and sbt's trailing "[success] Total time: ..." banner
+// otherwise lands after it (the round-1 bench artifact recorded
+// parsed:null with that banner as the final stdout line).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forked runMain output goes straight to stdout, no "[info] " logger
+// prefix — Bench's JSON line must arrive verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

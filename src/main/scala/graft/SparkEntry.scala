@@ -22,6 +22,7 @@ object SparkEntry {
     operators.ExtraText,
     operators.ExtraVector,
     operators.Misc,
+    operators.Pipeline2,
     streaming.StreamOps,
     functions.Scalars,
     functions.Udx

@@ -9,40 +9,42 @@ import graft.Tables
   * blocked embedding near-dup, IVF-style ANN, and binary-column
   * multimodal plumbing with a stubbed decoder.
   *
-  * Dot products here are UNROLLED 64-term GetArrayItem expressions —
-  * whole-stage-codegen'd, ~6x faster than interpreted higher-order
-  * lambdas, and the ascending-index add order matches DuckDB's list
-  * functions bit-for-bit.
+  * Dot products are interpreted higher-order functions (round-2
+  * decision): per-row they are ~6x slower than an unrolled 64-term
+  * GetArrayItem tree, but the unrolled tree costs ~10 CPU-s of
+  * driver-side Janino compile per distinct plan — which dominates a
+  * run-once bench and starves a throttled driver. Both forms fold in
+  * ascending index order, matching DuckDB's list functions
+  * bit-for-bit.
   */
 object ExtraVector extends graft.QueryModule {
-
-  private val DIM = 64
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .withColumn("e", expr("transform(embedding, x -> cast(x AS double))"))
 
-  /** Codegen-friendly dot(a, b): a[0]*b[0] + ... + a[63]*b[63]. */
-  private def dot(a: String, b: String): Column =
-    (0 until DIM).map(i => col(a).getItem(i) * col(b).getItem(i))
-      .reduce(_ + _)
-
-  private def norm(a: String): Column =
-    sqrt((0 until DIM).map(i => col(a).getItem(i) * col(a).getItem(i))
-      .reduce(_ + _))
-
   /** Embedding near-dup pairs, BLOCKED by label (the blocked-dedup
     * shape: at 100 TB the block key comes from a coarse quantizer so
-    * the pair space is per-block, never all-pairs global). */
+    * the pair space is per-block, never all-pairs global).
+    *
+    * The pair dot product uses interpreted higher-order functions, not
+    * the unrolled 64-term expression: in a run-once bench the unrolled
+    * tree's Janino compile (~10 CPU-s, driver-side and serial) costs
+    * far more than interpreting ~13M fused multiply-adds (~2 CPU-s,
+    * distributed). Norms are still computed once per vector, never per
+    * pair. */
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val dotHof = "aggregate(zip_with(e1, e2, (x, y) -> x * y), " +
+      "cast(0 AS double), (a, x) -> a + x)"
+    val normHof = "sqrt(aggregate(%s, cast(0 AS double), (a, x) -> a + x*x))"
     val v = emb(s, dir).select(col("label"), col("vec_id"), col("e"))
-      .withColumn("n", norm("e"))
+      .withColumn("n", expr(normHof.format("e")))
     val a = v.select(col("label"), col("vec_id").as("d1"),
       col("e").as("e1"), col("n").as("n1"))
     val b = v.select(col("label"), col("vec_id").as("d2"),
       col("e").as("e2"), col("n").as("n2"))
     a.join(b, "label").where(col("d1") < col("d2"))
-      .withColumn("cos", round(dot("e1", "e2") / (col("n1") * col("n2")), 6))
+      .withColumn("cos", round(expr(dotHof) / (col("n1") * col("n2")), 6))
       .where(col("cos") >= 0.4)
       .select("label", "d1", "d2", "cos")
       .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
@@ -52,35 +54,63 @@ object ExtraVector extends graft.QueryModule {
   /** IVF-style ANN: coarse cells = per-label centroids (deterministic
     * quantizer), every vector assigned to its NEAREST cell, probes scan
     * the 3 nearest cells and re-rank exactly. NO oracle (approx by
-    * design); ExtraSpec bounds recall vs q_sim_cosine_topk. */
+    * design); ExtraSpec bounds recall vs q_sim_cosine_topk.
+    *
+    * Plan shape (round-2 rewrite; the round-1 version was the driver
+    * bench's worst query at 128 s): the centroid table is tiny by
+    * construction (k cells x d dims), so it is COLLECTED and re-emitted
+    * as literal arrays — the standard k-means broadcast pattern. Cell
+    * assignment and probe-cell choice then happen in ONE projection per
+    * vector (array_sort over k (sim, cell) structs), replacing two
+    * row_number windows over a vectors-x-cells cross join and ~6 copies
+    * of a 64-term unrolled dot/norm expression tree (a codegen-compile
+    * blowup). Distances use interpreted higher-order-function dots: at
+    * candidate scale (probes x 3 cells x cell-size) that is millions of
+    * fused multiply-adds, never a compile-time hazard; norms are
+    * computed once per vector, never per pair. */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val exploded = emb(s, dir)
-      .select(col("vec_id"), col("label"), posexplode(col("e")))
-      .select(col("vec_id"), col("label"), col("pos").as("dim"), col("col").as("v"))
-    val cents = exploded.groupBy("label", "dim").agg(avg(col("v")).as("c"))
-      .groupBy("label").agg(array_sort(collect_list(struct(col("dim"), col("c"))))
-        .as("pairs"))
-      .select(col("label").as("cell"),
-        expr("transform(pairs, p -> p.c)").as("ce"))
-    val withCells = emb(s, dir).crossJoin(broadcast(cents))
-      .withColumn("d2c", dot("e", "ce") / (norm("e") * norm("ce")))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2c").desc, col("cell").asc)
-    val assigned = withCells
-      .withColumn("rk", row_number().over(assignW))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("e"), col("cell"))
-    val probeCells = withCells.where(col("vec_id") <= 20)
-      .withColumn("rk", row_number().over(assignW))
-      .where(col("rk") <= 3)
-      .select(col("vec_id").as("probe_id"), col("e").as("e1"), col("cell"))
-    val cands = assigned.join(broadcast(probeCells), "cell")
-      .where(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("e1"), col("vec_id"), col("e").as("e2"))
+    val dotHof = "aggregate(zip_with(%s, %s, (x, y) -> x * y), " +
+      "cast(0 AS double), (a, x) -> a + x)"
+    val normHof = "sqrt(aggregate(%s, cast(0 AS double), (a, x) -> a + x*x))"
+    // 1) coarse quantizer: per-label mean vector (k x d doubles) ->
+    //    driver -> literal array of (cell, centroid, norm) structs
+    val centRows = emb(s, dir)
+      .select(col("label"), posexplode(col("e")))
+      .groupBy(col("label").cast("long").as("cell"), col("pos").as("dim"))
+      .agg(avg(col("col")).as("c"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+      .select(col("cell"), expr("transform(pairs, p -> p.c)").as("ce"))
+      .collect()
+    val centsLit = array(centRows.map { r =>
+      val ce = r.getSeq[Double](1)
+      struct(lit(r.getLong(0)).as("cell"),
+        array(ce.map(lit(_)): _*).as("ce"),
+        lit(math.sqrt(ce.map(x => x * x).sum)).as("cn"))
+    }.toIndexedSeq: _*)
+    // 2) one pass per vector: norm + cells ranked by cosine (ties: cell)
+    val ranked = emb(s, dir)
+      .withColumn("n", expr(normHof.format("e")))
+      .withColumn("cells", centsLit)
+      .withColumn("ranked", expr(
+        "array_sort(transform(cells, c -> struct(" +
+          s"${dotHof.format("e", "c.ce")} / (n * c.cn) AS s, c.cell AS cell)), " +
+          "(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 " +
+          "WHEN l.cell < r.cell THEN -1 WHEN l.cell > r.cell THEN 1 ELSE 0 END)"))
+    val assigned = ranked
+      .select(col("vec_id"), col("e"), col("n"),
+        expr("ranked[0].cell").as("cell"))
+    // 3) probes visit their 3 nearest cells; exact re-rank on candidates
+    val probes = ranked.where(col("vec_id") <= 20)
+      .select(col("vec_id").as("probe_id"), col("e").as("e1"),
+        col("n").as("n1"),
+        explode(expr("transform(slice(ranked, 1, 3), x -> x.cell)")).as("cell"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    cands
-      .withColumn("cos", round(dot("e1", "e2") / (norm("e1") * norm("e2")), 6))
+    assigned.join(broadcast(probes), "cell")
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        round(expr(dotHof.format("e1", "e")) / (col("n1") * col("n")), 6))
       .select("probe_id", "vec_id", "cos")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)

