@@ -27,24 +27,20 @@ object ExtraVector extends graft.QueryModule {
     * shape: at 100 TB the block key comes from a coarse quantizer so
     * the pair space is per-block, never all-pairs global).
     *
-    * The pair dot product uses interpreted higher-order functions, not
-    * the unrolled 64-term expression: in a run-once bench the unrolled
-    * tree's Janino compile (~10 CPU-s, driver-side and serial) costs
-    * far more than interpreting ~13M fused multiply-adds (~2 CPU-s,
-    * distributed). Norms are still computed once per vector, never per
-    * pair. */
+    * The pair dot product is the native loop-codegen graft_dot
+    * expression (VectorExprs, SURVEY §4.3) — small generated code
+    * (no unrolled-tree Janino blowup), no per-element lambda dispatch.
+    * Norms are still computed once per vector, never per pair. */
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
-    val dotHof = "aggregate(zip_with(e1, e2, (x, y) -> x * y), " +
-      "cast(0 AS double), (a, x) -> a + x)"
-    val normHof = "sqrt(aggregate(%s, cast(0 AS double), (a, x) -> a + x*x))"
+    graft.functions.VectorExprs.ensureRegistered(s)
     val v = emb(s, dir).select(col("label"), col("vec_id"), col("e"))
-      .withColumn("n", expr(normHof.format("e")))
+      .withColumn("n", expr("sqrt(graft_dot(e, e))"))
     val a = v.select(col("label"), col("vec_id").as("d1"),
       col("e").as("e1"), col("n").as("n1"))
     val b = v.select(col("label"), col("vec_id").as("d2"),
       col("e").as("e2"), col("n").as("n2"))
     a.join(b, "label").where(col("d1") < col("d2"))
-      .withColumn("cos", round(expr(dotHof) / (col("n1") * col("n2")), 6))
+      .withColumn("cos", round(expr("graft_dot(e1, e2)") / (col("n1") * col("n2")), 6))
       .where(col("cos") >= 0.4)
       .select("label", "d1", "d2", "cos")
       .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
@@ -69,9 +65,9 @@ object ExtraVector extends graft.QueryModule {
     * fused multiply-adds, never a compile-time hazard; norms are
     * computed once per vector, never per pair. */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val dotHof = "aggregate(zip_with(%s, %s, (x, y) -> x * y), " +
-      "cast(0 AS double), (a, x) -> a + x)"
-    val normHof = "sqrt(aggregate(%s, cast(0 AS double), (a, x) -> a + x*x))"
+    graft.functions.VectorExprs.ensureRegistered(s)
+    val dotHof = "graft_dot(%s, %s)"
+    val normHof = "sqrt(graft_dot(%s, %s))"
     // 1) coarse quantizer: per-label mean vector (k x d doubles) ->
     //    driver -> literal array of (cell, centroid, norm) structs
     val centRows = emb(s, dir)
@@ -90,7 +86,7 @@ object ExtraVector extends graft.QueryModule {
     }.toIndexedSeq: _*)
     // 2) one pass per vector: norm + cells ranked by cosine (ties: cell)
     val ranked = emb(s, dir)
-      .withColumn("n", expr(normHof.format("e")))
+      .withColumn("n", expr(normHof.format("e", "e")))
       .withColumn("cells", centsLit)
       .withColumn("ranked", expr(
         "array_sort(transform(cells, c -> struct(" +

@@ -27,18 +27,19 @@ object VectorOps extends graft.QueryModule {
     * baseline. Probes are broadcast; corpus side is a single scan.
     * Norms are computed ONCE per vector before the pair blowup (the
     * naive per-pair norm recomputation triples the inner-loop work —
-    * measured 9.3 s -> ~3 s at sf0.1). Final cos = dot/(na*nb) is the
-    * same double arithmetic as the oracle's list_cosine_similarity. */
+    * measured 9.3 s -> ~3 s at sf0.1). The per-pair dot is the native
+    * loop-codegen graft_dot expression (VectorExprs, SURVEY §4.3);
+    * cos = dot/(na*nb) is the same ascending-order double arithmetic
+    * as the oracle's list_cosine_similarity. */
   def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
-    def normOf(c: String) =
-      s"sqrt(aggregate($c, cast(0 AS double), (a, x) -> a + x*x))"
+    graft.functions.VectorExprs.ensureRegistered(s)
+    def normOf(c: String) = s"sqrt(graft_dot($c, $c))"
     val all = emb(s, dir).select(col("vec_id"), col("e").as("e2"))
       .withColumn("n2", expr(normOf("e2")))
     val probes = emb(s, dir).where(col("vec_id") <= 20)
       .select(col("vec_id").as("probe_id"), col("e").as("e1"))
       .withColumn("n1", expr(normOf("e1")))
-    val dotExpr =
-      "aggregate(zip_with(e1, e2, (x, y) -> x * y), cast(0 AS double), (a, x) -> a + x)"
+    val dotExpr = "graft_dot(e1, e2)"
     val pairs = all.crossJoin(broadcast(probes))
       .where(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 6))
@@ -94,8 +95,8 @@ object VectorOps extends graft.QueryModule {
     val candIds = buckets.join(broadcast(probeBuckets), Seq("tbl", "bkt"))
       .where(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id").distinct()
-    def normOf(c: String) =
-      s"sqrt(aggregate($c, cast(0 AS double), (a, x) -> a + x*x))"
+    graft.functions.VectorExprs.ensureRegistered(s)
+    def normOf(c: String) = s"sqrt(graft_dot($c, $c))"
     val vecs = emb(s, dir).select(col("vec_id"), col("e"))
     val corpus = vecs.select(col("vec_id"), col("e").as("e2"))
       .withColumn("n2", expr(normOf("e2")))
@@ -105,8 +106,7 @@ object VectorOps extends graft.QueryModule {
     val cands = candIds
       .join(corpus, "vec_id")
       .join(broadcast(probeVecs), "probe_id")
-    val dotExpr =
-      "aggregate(zip_with(e1, e2, (x, y) -> x * y), cast(0 AS double), (a, x) -> a + x)"
+    val dotExpr = "graft_dot(e1, e2)"
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cands.withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 6))
