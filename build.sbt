@@ -35,6 +35,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // saveAsTable (bucketed-join demo) must never write inside the repo
+  "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
+  "-Dderby.stream.error.file=/tmp/graft-derby.log",
   // local[32] shares driver+executor in one JVM; 8g caused multi-second
   // GC stalls with 12x run-to-run bench variance on the 128 GiB box.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",

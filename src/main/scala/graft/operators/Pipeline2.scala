@@ -130,7 +130,39 @@ object Pipeline2 extends graft.QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** Bucketed co-located join — the 100 TB fact⋈fact technique this
+    * library standardizes on: both sides written `bucketBy(8, key)
+    * .sortBy(key)`, so the join needs NO Exchange and no Sort (each
+    * bucket pair joins locally; PlanShapeSpec asserts the plan).
+    * On a cluster this is the one-time-shuffle-then-never-again layout
+    * for tables joined repeatedly on the same key. */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    // the in-memory catalog is per-JVM but the warehouse dir persists:
+    // clear both, else a fresh session hits LOCATION_ALREADY_EXISTS
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    Seq("graft_li_b", "graft_ord_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(wh, t)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val li = Tables.lineitem(s, dir).where(col("l_orderkey") < 30000)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, dir).where(col("o_orderkey") < 30000)
+      .select("o_orderkey", "o_orderpriority")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_li_b")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_ord_b")
+    s.table("graft_li_b").hint("merge")
+      .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"),
+        sum(dec2("l_quantity")).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bucketed" -> joinBucketed,
     "q_dedup_content_md5" -> dedupContentMd5,
     "q_text_pii_mask" -> textPiiMask,
     "q_vec_quantize_int8" -> vecQuantizeInt8,
@@ -139,6 +171,12 @@ object Pipeline2 extends graft.QueryModule {
     "q_source_partitioned_roundtrip" -> sourcePartitionedRoundtrip)
 
   def oracleSql: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, COUNT(*) AS line_cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey < 30000 AND o_orderkey < 30000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_dedup_content_md5" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS survivor,
         |  COUNT(*) AS dup_cnt

@@ -58,6 +58,17 @@ class Pipeline2Spec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("bucketed join: no shuffle below the join (co-located buckets)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    run("q_join_bucketed").count() // materializes the bucketed tables
+    val j = spark.table("graft_li_b").hint("merge")
+      .join(spark.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+    val shuffles = j.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"expected shuffle-free bucketed join:\n$j")
+  }
+
   test("partitioned roundtrip matches a direct filtered aggregate") {
     val rt = run("q_source_partitioned_roundtrip").collect().toSeq
     val direct = Tables.orders(spark, dir)
