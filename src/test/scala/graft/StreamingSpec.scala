@@ -1,10 +1,11 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Ring 2 streaming (SURVEY.md §2.9/§5): the SAME transforms that the
@@ -17,6 +18,27 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 /** Funnel state: first signup / first valid click / first valid purchase
   * as epoch-µs. */
 case class FState(s: Option[Long], c: Option[Long], p: Option[Long])
+
+/** Spark 4 transformWithState processor: per-user running (count, max)
+  * kept in a ValueState — the modern arbitrary-state API (StatefulProcessor
+  * + typed state handles + RocksDB store), successor to
+  * flatMapGroupsWithState. */
+class RunningAggProcessor
+  extends StatefulProcessor[Long, Ev, (Long, Long, Double)] {
+  @transient private var st: ValueState[(Long, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Double)]("agg",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      tv: TimerValues): Iterator[(Long, Long, Double)] = {
+    val prev = if (st.exists()) st.get() else (0L, Double.MinValue)
+    var cnt = prev._1
+    var mx = prev._2
+    rows.foreach { e => cnt += 1; if (e.value > mx) mx = e.value }
+    st.update((cnt, mx))
+    Iterator.single((key, cnt, mx))
+  }
+}
 
 class StreamingSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
@@ -108,6 +130,45 @@ class StreamingSpec extends AnyFunSuite {
         .agg(sum("cnt")).collect()(0).getLong(0)
       assert(hour10 == 2, s"late event leaked into closed window: cnt=$hour10")
     } finally q.stop()
+  }
+
+  test("transformWithState (Spark 4 StatefulProcessor) == batch per-user agg") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(providerKey)
+    // transformWithState requires the RocksDB state store provider
+    sp.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val data = eventsSample()
+    val mem = MemoryStream[Ev]
+    val q = mem.toDS().groupByKey(_.user_id)
+      .transformWithState(new RunningAggProcessor, TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "cnt", "mx")
+      .writeStream.format("memory").queryName("t_tws")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val (a, b) = data.splitAt(data.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable() // state must carry across batches
+      val streamed = sp.table("t_tws")
+        .groupBy("user_id").agg(max("cnt").as("cnt"), max("mx").as("mx"))
+      val batch = Tables.events(spark, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("bcnt"), max("value").as("bmx"))
+      val bad = streamed.join(batch, "user_id")
+        .where(col("cnt") =!= col("bcnt") || !(col("mx") <=> col("bmx")))
+        .count()
+      assert(bad == 0, "transformWithState diverges from batch aggregate")
+      assert(streamed.count() == batch.count())
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => sp.conf.set(providerKey, v)
+        case None => sp.conf.unset(providerKey)
+      }
+    }
   }
 
   test("stateful funnel via flatMapGroupsWithState == batch funnel") {
