@@ -54,6 +54,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(physical("q_join_anti").contains("LeftAnti"))
   }
 
+  test("q_source_partitioned_roundtrip read prunes to one partition dir") {
+    // executedPlan (not sparkPlan): partition pruning shows in the scan
+    val df = SparkEntry.queries("q_source_partitioned_roundtrip")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("= F"),
+      s"no partition filter in:\n$plan")
+  }
+
+  test("q_join_skew_salted plans a shuffled join on (key, salt)") {
+    val plan = physical("q_join_skew_salted")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_sim_cosine_topk keeps graft_dot inside the projection (codegen)") {
+    val plan = physical("q_sim_cosine_topk")
+    assert(plan.contains("graft_dot"), s"native expression missing:\n$plan")
+  }
+
   test("q_join_multiway broadcasts all dims and never a cartesian product") {
     // At sf0.001 Catalyst may ALSO broadcast the orders fact (it sits
     // under the 10 MB auto-broadcast threshold) — correct at tiny SF; at
