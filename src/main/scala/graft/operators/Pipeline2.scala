@@ -66,7 +66,7 @@ object Pipeline2 extends graft.QueryModule {
     * per language. This is the operator a training-data pipeline
     * actually runs; the pair listing is its debug view. */
   def dedupNearPrune(s: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.shingles(s, dir)
+    val sh = TextOps.shingles(s, dir).persist() // see TextOps.dedupMinhash
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = sh.groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))

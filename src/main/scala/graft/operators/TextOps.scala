@@ -171,7 +171,12 @@ object TextOps extends graft.QueryModule {
     * standard LSH band join (equi-join on (perm, minhash)) — never an
     * all-pairs cross join. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    // materialize the shingle table once: it feeds BOTH the vocab
+    // derivation and the signature join, and the plan otherwise
+    // re-scans + re-explodes the corpus per consumer (no exchange
+    // reuse across the aggregate boundary). Same pattern a 100 TB
+    // pipeline uses for its tokenized-corpus stage.
+    val sh = shingles(s, dir).persist()
     val vocab = sh.select("shingle").distinct()
       .withColumn("sid", dense_rank().over(Window.orderBy("shingle")).cast("long"))
     // all 16 signature slots in ONE aggregation pass (a perms cross
@@ -208,7 +213,7 @@ object TextOps extends graft.QueryModule {
     * scales: at 100 TB the posting-list cap (a skew guard on stopword
     * shingles) bounds the per-key pair fanout. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    val sh = shingles(s, dir).persist() // reused by sizes + posting lists
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
