@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      // keep saveAsTable (bucketed-join demo) out of the repo even when
+      // launched without build.sbt's javaOptions
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // favor fewer/larger post-shuffle partitions: at sf0.1 the bench
       // floor is task-scheduling overhead, not data volume

@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      // keep saveAsTable (bucketed-join demo) out of the repo even when
+      // launched without build.sbt's javaOptions
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       // events.ts is parquet TIMESTAMP(NANOS) — read as Long nanos
       // (Tables.events converts to µs timestamps; see Tables.scala).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
