@@ -161,7 +161,36 @@ object Pipeline2 extends graft.QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** §2.7 bitwise function family (coverage closer). Dialect note:
+    * Spark's `^` is XOR but DuckDB's `^` is POWER — the oracle must use
+    * xor(); DuckDB's int32/int8 results are cast to BIGINT. */
+  def fnBitwise(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        (col("c_custkey").bitwiseAND(255)).cast("long").as("band"),
+        (col("c_custkey").bitwiseOR(4096)).cast("long").as("bor"),
+        (col("c_custkey").bitwiseXOR(1023)).cast("long").as("bxor"),
+        shiftleft(col("c_custkey").bitwiseAND(15), 3).cast("long").as("shl"),
+        shiftright(col("c_custkey"), 2).cast("long").as("shr"),
+        expr("~c_custkey").cast("long").as("bnot"),
+        bit_count(col("c_custkey")).cast("long").as("bcnt"))
+      .orderBy("c_custkey")
+
+  /** §2.4 boolean aggregates (coverage closer): bool_and / bool_or +
+    * conditional existence flags per group. */
+  def aggBool(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("bool_and(l_quantity < 51)").as("all_under_51"),
+        expr("bool_or(l_quantity > 45)").as("any_heavy"),
+        expr("bool_and(l_discount >= 0)").as("all_nonneg_disc"),
+        expr("bool_or(l_extendedprice > 90000)").as("any_pricey"))
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_bitwise" -> fnBitwise,
+    "q_agg_bool" -> aggBool,
     "q_join_bucketed" -> joinBucketed,
     "q_dedup_content_md5" -> dedupContentMd5,
     "q_text_pii_mask" -> textPiiMask,
@@ -171,6 +200,23 @@ object Pipeline2 extends graft.QueryModule {
     "q_source_partitioned_roundtrip" -> sourcePartitionedRoundtrip)
 
   def oracleSql: Map[String, String] = Map(
+    "q_fn_bitwise" ->
+      """SELECT c_custkey,
+        |  CAST(c_custkey & 255 AS BIGINT) AS band,
+        |  CAST(c_custkey | 4096 AS BIGINT) AS bor,
+        |  CAST(xor(c_custkey, 1023) AS BIGINT) AS bxor,
+        |  CAST((c_custkey & 15) << 3 AS BIGINT) AS shl,
+        |  CAST(c_custkey >> 2 AS BIGINT) AS shr,
+        |  CAST(~c_custkey AS BIGINT) AS bnot,
+        |  CAST(bit_count(c_custkey) AS BIGINT) AS bcnt
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_agg_bool" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity < 51) AS all_under_51,
+        |  bool_or(l_quantity > 45) AS any_heavy,
+        |  bool_and(l_discount >= 0) AS all_nonneg_disc,
+        |  bool_or(l_extendedprice > 90000) AS any_pricey
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderpriority, COUNT(*) AS line_cnt,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
