@@ -73,4 +73,22 @@ object PropertySpec extends Properties("graft.arithmetic") {
       val real = num.toDouble / den
       ppm <= real * 1000000 + 1e-6 && ppm >= real * 1000000 - 1
     }
+
+  // graft_dot interpreted eval == ascending-order left fold, BIT-exact
+  // (the codegen path is pinned by VectorExprsSpec; this pins the
+  // eval/codegen-equivalence contract on the interpreted side).
+  private val dblArray: Gen[List[Double]] =
+    Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))
+  property("graft_dot eval == ascending fold (bit-exact)") =
+    forAll(dblArray, dblArray) { (xs, ys) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val dot = functions.ArrayDot(
+        Literal.create(xs, ArrayType(DoubleType)),
+        Literal.create(ys, ArrayType(DoubleType))).eval(null)
+      val expect = xs.zip(ys).map { case (a, b) => a * b }
+        .foldLeft(0.0)(_ + _)
+      java.lang.Double.doubleToLongBits(dot.asInstanceOf[Double]) ==
+        java.lang.Double.doubleToLongBits(expect)
+    }
 }
