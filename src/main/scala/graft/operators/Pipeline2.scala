@@ -188,7 +188,53 @@ object Pipeline2 extends graft.QueryModule {
         expr("bool_or(l_extendedprice > 90000)").as("any_pricey"))
       .orderBy("l_returnflag")
 
+  /** §2.4 ordered string aggregation (listagg is new in Spark 4):
+    * deterministic via WITHIN GROUP ordering on a unique key. */
+  def aggListagg(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("graft_la_nation")
+    s.sql(
+      """SELECT n_regionkey,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_cnt
+        |FROM graft_la_nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
+  /** §2.5 nth_value over an explicit full frame (default frame stops at
+    * CURRENT ROW — same trap as first/last_value). */
+  def winNthValue(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"),
+        nth_value(col("o_orderkey"), 3).over(w).as("third_order"),
+        count(lit(1)).over(w).as("order_cnt"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  /** Uncorrelated scalar subqueries: customers above the GLOBAL average
+    * balance — exact decimal comparison (bal*count > sum), same
+    * boundary-safety argument as q_sub_correlated. */
+  def subUncorrelated(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_su_customer")
+    s.sql(
+      """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+        |FROM graft_su_customer
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+        |      (SELECT COUNT(*) FROM graft_su_customer)
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+        |       FROM graft_su_customer)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_listagg" -> aggListagg,
+    "q_win_nth_value" -> winNthValue,
+    "q_sub_uncorrelated" -> subUncorrelated,
     "q_fn_bitwise" -> fnBitwise,
     "q_agg_bool" -> aggBool,
     "q_join_bucketed" -> joinBucketed,
@@ -200,6 +246,27 @@ object Pipeline2 extends graft.QueryModule {
     "q_source_partitioned_roundtrip" -> sourcePartitionedRoundtrip)
 
   def oracleSql: Map[String, String] = Map(
+    "q_agg_listagg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_cnt
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_win_nth_value" ->
+      """SELECT DISTINCT o_custkey,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+        |  NTH_VALUE(o_orderkey, 3) OVER w AS third_order,
+        |  COUNT(*) OVER w AS order_cnt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey""".stripMargin,
+    "q_sub_uncorrelated" ->
+      """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+        |      (SELECT COUNT(*) FROM customer)
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
     "q_fn_bitwise" ->
       """SELECT c_custkey,
         |  CAST(c_custkey & 255 AS BIGINT) AS band,
