@@ -212,7 +212,36 @@ object VectorOps extends graft.QueryModule {
       .orderBy("cluster")
   }
 
+  /** MLlib Pipeline wrapper (the helper-library showcase):
+    * StandardScaler -> LogisticRegression over the embedding vectors,
+    * predicting the cluster label (learnable: KMeans finds the same
+    * structure; the text corpus deliberately shares one vocabulary
+    * across langs, so a text classifier would be fitting noise).
+    * NO oracle (iterative, seeded); TextVectorSpec bounds accuracy
+    * above chance and pins run-to-run stability. Outputs the confusion
+    * counts (label x prediction). */
+  def mlPipelineScalerLr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.StandardScaler
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val feats = emb(s, dir).select(col("vec_id"),
+      col("label").cast("double").as("label"), toVec(col("e")).as("raw"))
+    val pipe = new Pipeline().setStages(Array(
+      new StandardScaler().setInputCol("raw").setOutputCol("features")
+        .setWithMean(true).setWithStd(true),
+      new LogisticRegression().setMaxIter(10).setRegParam(0.01)))
+    val model = pipe.fit(feats)
+    model.transform(feats)
+      .groupBy(col("label").cast("long").as("label"),
+        col("prediction").cast("long").as("pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("label", "pred")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_pipeline_scaler_lr" -> mlPipelineScalerLr,
     "q_sim_cosine_topk" -> simCosineTopk,
     "q_sim_lsh_bucketed" -> simLshBucketed,
     "q_multimodal_join" -> multimodalJoin,

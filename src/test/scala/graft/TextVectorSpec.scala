@@ -68,6 +68,18 @@ class TextVectorSpec extends AnyFunSuite {
       b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("ml pipeline (scaler+LR): above-chance accuracy, seeded-stable") {
+    val a = run("q_ml_pipeline_scaler_lr").collect()
+    val total = a.map(_.getLong(2)).sum
+    val correct = a.filter(r => r.getLong(0) == r.getLong(1))
+      .map(_.getLong(2)).sum
+    val acc = correct.toDouble / total
+    assert(acc > 0.3, s"accuracy $acc not above 10-class chance")
+    val b = run("q_ml_pipeline_scaler_lr").collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("centroid outliers: 5 per label, distances non-negative") {
     val c = run("q_vec_centroids").cache()
     assert(c.groupBy("label").count().where(col("count") =!= 5).count() == 0)
