@@ -231,7 +231,10 @@ object VectorOps extends graft.QueryModule {
     val pipe = new Pipeline().setStages(Array(
       new StandardScaler().setInputCol("raw").setOutputCol("features")
         .setWithMean(true).setWithStd(true),
-      new LogisticRegression().setMaxIter(10).setRegParam(0.01)))
+      // maxIter bounded like the KMeans wrapper: accuracy plateaus in a
+      // few L-BFGS rounds on this corpus; the cap keeps the run-once
+      // cost deterministic
+      new LogisticRegression().setMaxIter(5).setRegParam(0.01)))
     val model = pipe.fit(feats)
     model.transform(feats)
       .groupBy(col("label").cast("long").as("label"),
