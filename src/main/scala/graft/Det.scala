@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * fractional digits (FIXTURES.md), so casting the RAW column to
   * DECIMAL(12,2) is unambiguous in both engines; derived arithmetic then
   * stays in exact decimal.
+  *
+  * Output-type rule (§2.0.8, round 2): exact decimal is for the MATH
+  * only — the FINAL projected column must be cast to DOUBLE on both
+  * engines (decimal->double is correctly rounded in both, so equal
+  * decimals render identically through the gate's asymmetric
+  * pandas/duckdb read paths, which a decimal output does not).
   */
 object Det {
   /** Raw fixture double column -> exact decimal. */
