@@ -118,14 +118,15 @@ object ExtraText extends graft.QueryModule {
 
   /** SimHash (16-bit) over tf-weighted token hashes; docs sharing a
     * simhash form near-dup buckets. Emits buckets with >= 2 docs —
-    * bounded output at any scale (pair listing is the downstream step). */
+    * bounded output at any scale (pair listing is the downstream step).
+    * Token ids are the per-char polynomial hash (TextOps.polyHash) — a
+    * pure projection; round 2's dense_rank vocabulary was a
+    * SinglePartition sort of the whole vocabulary. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = TextOps.tokens(s, dir)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val vocab = tf.select("token").distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy("token")).cast("long"))
-    val hashed = tf.join(vocab, "token")
+    val hashed = tf
+      .withColumn("tid", TextOps.polyHash("token"))
       .withColumn("h", (lit(1103515245L) * col("tid") + lit(12345L)) % lit(2147483647L))
     val bitSums = (0 until 16).map { j =>
       sum(when(expr(s"(h div ${1L << j}) % 2") === 1, col("tf"))
@@ -270,10 +271,9 @@ object ExtraText extends graft.QueryModule {
       }.mkString(" + ")
       s"""WITH tok AS ($tokensSql),
         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
-        |vocab AS (SELECT token, CAST(dense_rank() OVER (ORDER BY token) AS BIGINT) AS tid
-        |          FROM (SELECT DISTINCT token FROM tf)),
-        |hashed AS (SELECT doc_id, tf, (1103515245 * tid + 12345) % 2147483647 AS h
-        |           FROM tf JOIN vocab USING (token)),
+        |hashed AS (SELECT doc_id, tf,
+        |             (1103515245 * ${TextOps.polyHashSql("token")} + 12345) % 2147483647 AS h
+        |           FROM tf),
         |bits AS (SELECT doc_id,
         |    $bitSumsSql
         |  FROM hashed GROUP BY doc_id),

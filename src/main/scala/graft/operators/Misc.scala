@@ -77,18 +77,17 @@ object Misc extends graft.QueryModule {
 
   /** HashingTF semantics with an ENGINE-NEUTRAL hash: MLlib buckets
     * tokens by murmur3 mod numFeatures (engine-specific); here the
-    * bucket is an affine map of the vocab id mod 64 — identical
-    * bucketed-count shape, §2.0.7 arithmetic-hash rule. */
-  def textHashingTf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = TextOps.tokens(s, dir)
-    val vocab = t.select("token").distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy("token")).cast("long"))
-    t.join(vocab, "token")
+    * bucket is an affine map of the token's polynomial string hash
+    * mod 64 — identical bucketed-count shape, §2.0.7 arithmetic-hash
+    * rule, and exactly HashingTF's scale story: hash-where-the-row-
+    * lives, no vocabulary table (round 2's dense_rank variant sorted
+    * the whole vocab in one task). */
+  def textHashingTf(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokens(s, dir)
+      .withColumn("tid", TextOps.polyHash("token"))
       .withColumn("bucket", (lit(1103515245L) * col("tid") + lit(12345L)) % 64)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
       .orderBy("doc_id", "bucket")
-  }
 
   /** Correlated scalar subqueries (Catalyst decorrelates them into
     * joins — §4.1): customers above their nation's average balance.
@@ -144,15 +143,15 @@ object Misc extends graft.QueryModule {
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "q_text_hashing_tf" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, tokens[s] AS token
         |  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens)+1)) AS s
         |        FROM (SELECT doc_id, str_split(lower(text), ' ') AS tokens FROM documents))
-        |  WHERE tokens[s] <> ''),
-        |vocab AS (SELECT token, CAST(dense_rank() OVER (ORDER BY token) AS BIGINT) AS tid
-        |          FROM (SELECT DISTINCT token FROM tok))
-        |SELECT doc_id, (1103515245 * tid + 12345) % 64 AS bucket, COUNT(*) AS cnt
-        |FROM tok JOIN vocab USING (token)
+        |  WHERE tokens[s] <> '')
+        |SELECT doc_id,
+        |  (1103515245 * ${graft.operators.TextOps.polyHashSql("token")} + 12345) % 64 AS bucket,
+        |  COUNT(*) AS cnt
+        |FROM tok
         |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
     "q_sub_correlated" ->
       """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal

@@ -161,24 +161,21 @@ object TextOps extends graft.QueryModule {
       .orderBy("survivor")
 
   /** MinHash near-dup candidates — ENGINE-NEUTRAL arithmetic hashing
-    * (§2.0.7): shingle ids from a dense-ranked vocabulary, 16 affine
+    * (§2.0.7): shingle ids are a per-char Horner polynomial hash of the
+    * shingle STRING (no vocabulary table at all), 16 affine
     * permutations (a*id + b) mod p with literal constants, candidate
     * pairs = docs agreeing on >= 8 of 16 signature slots.
     *
-    * Scale path: dense_rank over the global vocab is a fixture-scale
-    * convenience; at 100 TB the id assignment becomes sort +
-    * zipWithIndex (distributed), and the signature join is already the
-    * standard LSH band join (equi-join on (perm, minhash)) — never an
-    * all-pairs cross join. */
+    * 100 TB: the id assignment is a pure projection computed where the
+    * shingle row lives — round 2's dense_rank vocabulary funneled every
+    * distinct shingle through ONE task (Window.orderBy with no
+    * partition = SinglePartition sort; a straggler/OOM at a corpus with
+    * billions of shingles). The signature join is the standard LSH band
+    * join (equi-join on (perm, minhash)) — never an all-pairs cross
+    * join. sid < 1e9+7, so a*sid < 1.7e18 stays inside int64. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    // materialize the shingle table once: it feeds BOTH the vocab
-    // derivation and the signature join, and the plan otherwise
-    // re-scans + re-explodes the corpus per consumer (no exchange
-    // reuse across the aggregate boundary). Same pattern a 100 TB
-    // pipeline uses for its tokenized-corpus stage.
-    val sh = shingles(s, dir).persist()
-    val vocab = sh.select("shingle").distinct()
-      .withColumn("sid", dense_rank().over(Window.orderBy("shingle")).cast("long"))
+    val sh = shingles(s, dir)
+      .withColumn("sid", TextOps.polyHash("shingle"))
     // all 16 signature slots in ONE aggregation pass (a perms cross
     // join would 16x the pre-agg row count: 3M vs 190k rows at sf0.1),
     // then unpivot the wide row back to (doc, perm, minh) for the
@@ -186,8 +183,7 @@ object TextOps extends graft.QueryModule {
     val minCols = TextOps.permTable.map { case (i, a, b) =>
       min((lit(a) * col("sid") + lit(b)) % lit(2147483647L)).as(s"m$i")
     }
-    val sigWide = sh.join(vocab, "shingle")
-      .groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val sigWide = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     val stackExpr = "stack(16, " +
       TextOps.permTable.map { case (i, _, _) => s"$i, m$i" }.mkString(", ") +
       ") AS (perm, minh)"
@@ -213,7 +209,14 @@ object TextOps extends graft.QueryModule {
     * scales: at 100 TB the posting-list cap (a skew guard on stopword
     * shingles) bounds the per-key pair fanout. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).persist() // reused by sizes + posting lists
+    // sh feeds both sizes + posting lists; deliberately NOT persisted:
+    // a lazily-returned query can't unpersist after its terminal
+    // action, and leaked cache blocks accumulate across the 107-query
+    // shared session (ADVICE r2). Recomputing the explode costs two
+    // parquet scans of `documents` — cheap at any SF; a 100 TB
+    // pipeline materializes its tokenized-corpus stage to storage
+    // instead of executor memory anyway.
+    val sh = shingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
@@ -312,12 +315,11 @@ object TextOps extends graft.QueryModule {
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents GROUP BY lang, text ORDER BY survivor""".stripMargin,
     "q_dedup_minhash" ->
-      s"""WITH sh AS ($shinglesSql),
-        |vocab AS (SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid
-        |          FROM (SELECT DISTINCT shingle FROM sh)),
+      s"""WITH sh AS (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
+        |            FROM ($shinglesSql)),
         |perms(perm, a, b) AS (VALUES ${TextOps.permValuesSql}),
         |sig AS (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
-        |        FROM sh JOIN vocab USING (shingle) CROSS JOIN perms
+        |        FROM sh CROSS JOIN perms
         |        GROUP BY doc_id, perm)
         |SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS matches,
         |  ROUND(COUNT(*) / 16.0, 4) AS agreement
@@ -328,8 +330,11 @@ object TextOps extends graft.QueryModule {
     "q_dedup_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pl AS (SELECT shingle FROM sh GROUP BY shingle
+        |       HAVING COUNT(*) BETWEEN 2 AND 1000),
         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          JOIN pl ON pl.shingle = a.shingle
         |          GROUP BY d1, d2)
         |SELECT d1, d2, inter,
         |  ROUND(CAST(inter AS DOUBLE) / (z1.sz + z2.sz - inter), 6) AS jaccard
@@ -338,6 +343,24 @@ object TextOps extends graft.QueryModule {
         |JOIN sizes z2 ON z2.doc_id = d2
         |WHERE CAST(inter AS DOUBLE) / (z1.sz + z2.sz - inter) >= 0.5
         |ORDER BY jaccard DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin)
+
+  /** Horner polynomial hash of a string column, base 131 mod 1e9+7 —
+    * the engine-neutral replacement for dense_rank vocabulary ids
+    * (§2.0.7). A pure per-row projection: no distinct, no global-sort
+    * window, no vocab join — the id is computed where the row lives,
+    * so the shape is identical at 5k docs and at 100 TB. Fold init 0
+    * equals DuckDB list_reduce's first-element seed because
+    * (0*131 + c1) % p == c1. Result < 1e9+7 keeps every downstream
+    * affine map (a*sid + b, a <= 1.62e9) inside int64. */
+  def polyHash(c: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(sequence(1, length($c)), 0L, " +
+      s"(a, i) -> (a * 131 + ascii(substring($c, i, 1))) % 1000000007)")
+
+  /** DuckDB twin of [[polyHash]] — same fold, same integers. */
+  def polyHashSql(c: String): String =
+    s"list_reduce(list_transform(range(1, length($c)+1), " +
+      s"i -> CAST(ascii(substring($c, i, 1)) AS BIGINT)), " +
+      "(a, b) -> (a * 131 + b) % 1000000007)"
 
   /** 16 fixed affine permutation constants (perm, a, b), identical
     * literals on both engines. The multipliers MUST be large enough

@@ -58,11 +58,35 @@ class Pipeline2Spec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salted join spreads a synthetic hot key (60% of rows) and matches plain") {
+    val SALT = 8
+    val fact = spark.range(10000).select(col("id"),
+      when(col("id") % 10 < 6, lit(7L)).otherwise(col("id") % 100).as("k"))
+    val dim = spark.range(100).select(col("id").as("dk"), (col("id") * 3).as("v"))
+    val saltedDim = dim.withColumn("salt", explode(expr(s"sequence(0, ${SALT - 1})")))
+    val factS = fact.withColumn("fsalt", pmod(col("id"), lit(SALT)).cast("int"))
+    // the hot key really is spread: all SALT salt values occur for it
+    assert(factS.where(col("k") === 7).select("fsalt").distinct().count() == SALT)
+    val salted = factS.join(saltedDim.hint("shuffle_hash"),
+        col("k") === col("dk") && col("fsalt") === col("salt"))
+      .groupBy("k").agg(count(lit(1)).as("c"), sum("v").as("sv"))
+      .orderBy("k").collect().toSeq
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy("k").agg(count(lit(1)).as("c"), sum("v").as("sv"))
+      .orderBy("k").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("bucketed join: no shuffle below the join (co-located buckets)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     run("q_join_bucketed").count() // materializes the bucketed tables
-    val j = spark.table("graft_li_b").hint("merge")
-      .join(spark.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+    // table names are suffixed per (session, sfDir) — recover them from
+    // the catalog rather than re-deriving the tag
+    val names = spark.catalog.listTables().collect().map(_.name)
+    val liT = names.filter(_.startsWith("graft_li_b")).sorted.head
+    val ordT = names.filter(_.startsWith("graft_ord_b")).sorted.head
+    val j = spark.table(liT).hint("merge")
+      .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
     val shuffles = j.queryExecution.executedPlan.collect {
       case e: ShuffleExchangeExec => e
     }

@@ -73,6 +73,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("graft_dot"), s"native expression missing:\n$plan")
   }
 
+  test("hash-id operators have NO window at all (r2: dense_rank vocab = SinglePartition sort)") {
+    // q_dedup_minhash / q_dedup_simhash / q_text_hashing_tf formerly
+    // assigned vocab ids via dense_rank over Window.orderBy with no
+    // partitionBy — a whole-vocabulary sort through ONE task. The
+    // polynomial string hash is a pure projection, so the correct plan
+    // has no Window operator (and hence no SinglePartition exchange).
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_text_hashing_tf")) {
+      val plan = physical(q)
+      assert(!plan.contains("Window"), s"$q still plans a Window:\n$plan")
+      assert(!plan.contains("SinglePartition"),
+        s"$q still has a SinglePartition exchange:\n$plan")
+    }
+  }
+
   test("q_join_multiway broadcasts all dims and never a cartesian product") {
     // At sf0.001 Catalyst may ALSO broadcast the orders fact (it sits
     // under the 10 MB auto-broadcast threshold) — correct at tiny SF; at
