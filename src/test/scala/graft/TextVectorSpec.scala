@@ -80,6 +80,54 @@ class TextVectorSpec extends AnyFunSuite {
       b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("bucketize cuts: deciles 1..10, roughly balanced, monotone in value") {
+    val b = run("q_vec_bucketize_cuts")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+        "o_orderkey")
+    val n = b.count()
+    val sizes = b.groupBy("decile").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet.subsetOf((1L to 10L).toSet), s"bad deciles: $sizes")
+    // sketch-approx deciles: each within [4%, 20%] of the corpus
+    sizes.foreach { case (d, c) =>
+      assert(c >= n / 25 && c <= n / 5, s"decile $d unbalanced: $c of $n")
+    }
+    // monotone: a decile's max value never exceeds the next decile's min
+    val ranges = b.groupBy("decile")
+      .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      .orderBy("decile").collect()
+    ranges.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getDouble(1 + 1) <= hi.getDouble(1),
+          s"decile ${lo.getLong(0)} max > decile ${hi.getLong(0)} min")
+      case _ =>
+    }
+    // exact-width buckets must agree with the oracle-checked baseline
+    val base = run("q_vec_bucketize").select("o_orderkey", "width_bucket")
+    val mism = run("q_vec_bucketize_cuts")
+      .select(col("o_orderkey"), col("width_bucket").as("wb2"))
+      .join(base, "o_orderkey")
+      .where(col("wb2") =!= col("width_bucket")).count()
+    assert(mism == 0)
+  }
+
+  test("ml eval: per-class counts consistent, above-chance, deterministic") {
+    val e1 = run("q_ml_eval_accuracy").collect().toSeq
+    val e2 = run("q_ml_eval_accuracy").collect().toSeq
+    assert(e1 == e2, "evaluator must be run-to-run deterministic")
+    val support = e1.map(_.getLong(1)).sum
+    val tp = e1.map(_.getLong(2)).sum
+    val testN = Tables.embeddings(spark, dir)
+      .where(pmod(col("vec_id"), lit(5)) === 0).count()
+    assert(support == testN, s"support $support != test rows $testN")
+    // 10 labels -> chance is ~10%; require 2x chance overall
+    assert(tp.toDouble / support > 0.2, s"accuracy ${tp.toDouble / support}")
+    e1.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // tp <= support
+      assert(r.getLong(4) <= 1000000L && r.getLong(5) <= 1000000L)
+    }
+  }
+
   test("centroid outliers: 5 per label, distances non-negative") {
     val c = run("q_vec_centroids").cache()
     assert(c.groupBy("label").count().where(col("count") =!= 5).count() == 0)
