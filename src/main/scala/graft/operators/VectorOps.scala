@@ -305,6 +305,53 @@ object VectorOps extends graft.QueryModule {
       .orderBy("label")
   }
 
+  /** CrossValidator-shaped model selection (the third leg of the
+    * ML-helper surface, next to the fit wrappers and the evaluator):
+    * deterministic 2-fold split (vec_id mod 2), grid over LR regParam
+    * {0.01, 1.0}, target = seeded KMeans cells (same rationale as
+    * q_ml_eval_accuracy). Each grid point trains on one fold and
+    * scores the other, both directions; output = pooled held-out
+    * accuracy per grid point (exact ppm) + a selected flag (argmax,
+    * param-ascending tie-break). Uses explicit loops rather than
+    * MLlib's CrossValidator so the fold assignment is arithmetic
+    * (CrossValidator's random folds are partition-order sensitive) —
+    * the selection logic is the same. NO oracle (iterative fits);
+    * TextVectorSpec pins determinism and that selection prefers the
+    * weakly-regularized model on this corpus. */
+  def mlCvSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val feats = emb(s, dir).select(col("vec_id"), toVec(col("e")).as("raw"))
+    val km = new KMeans().setK(10).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("raw").setPredictionCol("target").fit(feats)
+    val labeled = km.transform(feats)
+      .withColumn("t", col("target").cast("double"))
+      .withColumn("fold", pmod(col("vec_id"), lit(2)))
+    val grid = Seq(0.01, 1.0)
+    val rows = grid.map { reg =>
+      val perFold = (0 to 1).map { f =>
+        val model = new LogisticRegression().setMaxIter(5).setRegParam(reg)
+          .setLabelCol("t").setFeaturesCol("raw")
+          .fit(labeled.where(col("fold") =!= f))
+        val scored = model.transform(labeled.where(col("fold") === f))
+        val agg = scored.agg(
+          sum(when(col("t") === col("prediction"), 1L).otherwise(0L)),
+          count(lit(1))).head
+        (agg.getLong(0), agg.getLong(1))
+      }
+      val (correct, total) = perFold.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      (reg, 1000000L * correct / total, correct, total)
+    }
+    val best = rows.maxBy { case (reg, acc, _, _) => (acc, -reg) }._1
+    val sp = s
+    import sp.implicits._
+    rows.toDF("reg_param", "acc_ppm", "correct", "total")
+      .withColumn("selected", when(col("reg_param") === best, 1L).otherwise(0L))
+      .orderBy("reg_param")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_pipeline_scaler_lr" -> mlPipelineScalerLr,
     "q_sim_cosine_topk" -> simCosineTopk,
@@ -315,7 +362,8 @@ object VectorOps extends graft.QueryModule {
     "q_vec_bucketize" -> vecBucketize,
     "q_vec_bucketize_cuts" -> vecBucketizeCuts,
     "q_ml_kmeans_helper" -> mlKmeans,
-    "q_ml_eval_accuracy" -> mlEvalAccuracy)
+    "q_ml_eval_accuracy" -> mlEvalAccuracy,
+    "q_ml_cv_select" -> mlCvSelect)
 
   def oracleSql: Map[String, String] = Map(
     "q_sim_cosine_topk" ->

@@ -128,6 +128,20 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("cv select: deterministic, counts consistent, picks the better grid point") {
+    val a = run("q_ml_cv_select").collect().toSeq
+    val b = run("q_ml_cv_select").collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq), "cv must be deterministic")
+    assert(a.length == 2)
+    a.foreach { r =>
+      assert(r.getLong(1) == 1000000L * r.getLong(2) / r.getLong(3))
+    }
+    val sel = a.filter(_.getLong(4) == 1L)
+    assert(sel.length == 1)
+    assert(sel.head.getLong(1) == a.map(_.getLong(1)).max,
+      "selected row must carry the max accuracy")
+  }
+
   test("centroid outliers: 5 per label, distances non-negative") {
     val c = run("q_vec_centroids").cache()
     assert(c.groupBy("label").count().where(col("count") =!= 5).count() == 0)
