@@ -43,9 +43,19 @@ object Sources extends graft.QueryModule {
         col("l_returnflag"),
         date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_ts"))
 
+  /** Per-(session, sfDir) output suffix: concurrent sessions (sbt test
+    * alongside a bench run) must not overwrite each other's roundtrip
+    * dirs (ADVICE r2). The write itself stays inside the timed query —
+    * writing IS the roundtrip semantic, unlike the bucketed-layout DDL. */
+  private def tag(s: SparkSession, dir: String): String =
+    (s.sparkContext.applicationId + "_" +
+      java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff))
+      .replaceAll("[^a-zA-Z0-9_]", "_")
+
   /** Write a lineitem sample as CSV, re-read with an explicit schema. */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_${tag(s, dir)}"
     sample(s, dir).write.mode("overwrite").option("header", "true").csv(out)
     s.read.schema(roundtripSchema).option("header", "true").csv(out)
       .orderBy("l_orderkey", "l_linenumber")
@@ -53,10 +63,22 @@ object Sources extends graft.QueryModule {
 
   /** Same via JSON lines. */
   def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip"
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip_${tag(s, dir)}"
     sample(s, dir).write.mode("overwrite").json(out)
     s.read.schema(roundtripSchema).json(out)
       .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Same via ORC — the other columnar format Spark ships natively;
+    * types survive in the file's own schema (no re-read schema needed,
+    * unlike the text formats). The oracle is the same source-of-truth
+    * SQL: it checks the written+read content, not the container. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_${tag(s, dir)}"
+    sample(s, dir).write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy("l_orderkey", "l_linenumber")
   }
 
   private val sampleSql =
@@ -69,7 +91,8 @@ object Sources extends graft.QueryModule {
     "q_scan_project" -> scanProject,
     "q_scan_pruned" -> scanPruned,
     "q_source_csv_roundtrip" -> csvRoundtrip,
-    "q_source_json_roundtrip" -> jsonRoundtrip)
+    "q_source_json_roundtrip" -> jsonRoundtrip,
+    "q_source_orc_roundtrip" -> orcRoundtrip)
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
@@ -82,5 +105,6 @@ object Sources extends graft.QueryModule {
     // Roundtrips re-read exactly the sample: the oracle checks the
     // written+read content against the source-of-truth parquet.
     "q_source_csv_roundtrip" -> sampleSql,
-    "q_source_json_roundtrip" -> sampleSql)
+    "q_source_json_roundtrip" -> sampleSql,
+    "q_source_orc_roundtrip" -> sampleSql)
 }
