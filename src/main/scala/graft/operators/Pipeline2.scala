@@ -20,9 +20,7 @@ object Pipeline2 extends graft.QueryModule {
     * min(doc_id). The 100 TB shape: hashing shrinks the shuffle key
     * from full document text to 32 bytes. */
   def dedupContentMd5(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .groupBy(md5(col("text")).as("content_md5"))
-      .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("dup_cnt"))
+    graft.api.Dedup.byContentMd5(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("survivor")
 
   /** PII scrubbing pass: mask email-shaped tokens and >=3-digit runs,
@@ -66,21 +64,8 @@ object Pipeline2 extends graft.QueryModule {
     * per language. This is the operator a training-data pipeline
     * actually runs; the pair listing is its debug view. */
   def dedupNearPrune(s: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.shingles(s, dir) // not persisted — see TextOps.dedupJaccard
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = sh.groupBy("shingle")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")).between(2, 1000))
-      .select(explode(expr(
-        "flatten(transform(ds, (x, i) -> " +
-          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"))
-        .as("p"))
-      .select(col("p.d1"), col("p.d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
-      .where(round(col("inter").cast("double") /
-        (col("sz1") + col("sz2") - col("inter")), 6) >= 0.5)
+    val pairs = graft.api.Dedup.jaccardPairs(
+      TextOps.shingles(s, dir), "doc_id", threshold = 0.5, maxPosting = 1000)
     val removed = pairs.select(col("d2").as("doc_id")).distinct()
     Tables.documents(s, dir)
       .join(removed.withColumn("rm", lit(1)), Seq("doc_id"), "left")

@@ -22,22 +22,14 @@ import graft.Tables
   */
 object TextOps extends graft.QueryModule {
 
-  /** Tokens with 1-based ordinal per doc (lowercased, empties dropped). */
+  /** Tokens with 1-based ordinal per doc — fixture binding of the
+    * parametric graft.api.Text.tokens. */
   def tokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
-      .where(col("col") =!= "")
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("ord"),
-        col("col").as("token"))
+    graft.api.Text.tokens(Tables.documents(s, dir), "doc_id", "text")
 
-  /** Distinct 3-word shingles per doc. */
+  /** Distinct 3-word shingles per doc (graft.api.Text.shingles). */
   def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("l", split(lower(col("text")), " "))
-      .where(size(col("l")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(l)-2), " +
-          "i -> concat(l[i-1], ' ', l[i], ' ', l[i+1])))")).as("shingle"))
+    graft.api.Text.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
 
   private val tokensSql =
     """SELECT doc_id, tokens[s] AS token
@@ -153,9 +145,8 @@ object TextOps extends graft.QueryModule {
     * Implemented as groupBy+min, NOT dropDuplicates (whose survivor is
     * partition-order dependent — §2.0). */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .groupBy("lang", "text")
-      .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("dup_cnt"))
+    graft.api.Dedup.exact(Tables.documents(s, dir), "doc_id",
+        Seq("lang", "text"))
       .select(col("lang"), col("survivor"), col("dup_cnt"),
         length(col("text")).cast("long").as("text_len"))
       .orderBy("survivor")
@@ -174,25 +165,13 @@ object TextOps extends graft.QueryModule {
     * join (equi-join on (perm, minhash)) — never an all-pairs cross
     * join. sid < 1e9+7, so a*sid < 1.7e18 stays inside int64. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-      .withColumn("sid", TextOps.polyHash("shingle"))
-    // all 16 signature slots in ONE aggregation pass (a perms cross
-    // join would 16x the pre-agg row count: 3M vs 190k rows at sf0.1),
-    // then unpivot the wide row back to (doc, perm, minh) for the
-    // band join.
-    val minCols = TextOps.permTable.map { case (i, a, b) =>
-      min((lit(a) * col("sid") + lit(b)) % lit(2147483647L)).as(s"m$i")
-    }
-    val sigWide = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val stackExpr = "stack(16, " +
-      TextOps.permTable.map { case (i, _, _) => s"$i, m$i" }.mkString(", ") +
-      ") AS (perm, minh)"
-    val sig = sigWide.select(col("doc_id"), expr(stackExpr))
-    val s1 = sig.select(col("doc_id").as("d1"), col("perm"), col("minh"))
-    val s2 = sig.select(col("doc_id").as("d2"), col("perm"), col("minh"))
-    s1.join(s2, Seq("perm", "minh")).where(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("matches"))
-      .where(col("matches") >= 8)
+    // all 16 signature slots come from ONE aggregation pass inside
+    // minhashSignatures (a perms cross join would 16x the pre-agg row
+    // count: 3M vs 190k rows at sf0.1); candidates from the band
+    // equi-join in minhashCandidates.
+    val sig = graft.api.Dedup.minhashSignatures(
+      shingles(s, dir), "doc_id", TextOps.permTable)
+    graft.api.Dedup.minhashCandidates(sig, "doc_id", minMatches = 8)
       .select(col("d1"), col("d2"), col("matches"),
         round(col("matches") / lit(16.0), 4).as("agreement"))
       .orderBy(col("matches").desc, col("d1").asc, col("d2").asc)
@@ -208,36 +187,18 @@ object TextOps extends graft.QueryModule {
     * the bench's top CPU burner at sf0.1 (13 CPU-s); this shape also
     * scales: at 100 TB the posting-list cap (a skew guard on stopword
     * shingles) bounds the per-key pair fanout. */
-  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    // sh feeds both sizes + posting lists; deliberately NOT persisted:
-    // a lazily-returned query can't unpersist after its terminal
-    // action, and leaked cache blocks accumulate across the 107-query
-    // shared session (ADVICE r2). Recomputing the explode costs two
-    // parquet scans of `documents` — cheap at any SF; a 100 TB
-    // pipeline materializes its tokenized-corpus stage to storage
-    // instead of executor memory anyway.
-    val sh = shingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.groupBy("shingle")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")).between(2, 1000))
-      .select(explode(expr(
-        "flatten(transform(ds, (x, i) -> " +
-          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"))
-        .as("p"))
-      .select(col("p.d1"), col("p.d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sz1") + col("sz2") - col("inter")), 6))
-      .where(col("jaccard") >= 0.5)
-      .select("d1", "d2", "inter", "jaccard")
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame =
+    // the shingle table feeds both sizes + posting lists inside
+    // jaccardPairs; deliberately NOT persisted: a lazily-returned query
+    // can't unpersist after its terminal action, and leaked cache
+    // blocks accumulate across the shared session (ADVICE r2).
+    // Recomputing the explode costs two parquet scans of `documents` —
+    // cheap at any SF; a 100 TB pipeline materializes its
+    // tokenized-corpus stage to storage instead of executor memory.
+    graft.api.Dedup.jaccardPairs(shingles(s, dir), "doc_id",
+        threshold = 0.5, maxPosting = 1000)
       .orderBy(col("jaccard").desc, col("d1").asc, col("d2").asc)
       .limit(100)
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokenize" -> textTokenize,
@@ -353,8 +314,7 @@ object TextOps extends graft.QueryModule {
     * (0*131 + c1) % p == c1. Result < 1e9+7 keeps every downstream
     * affine map (a*sid + b, a <= 1.62e9) inside int64. */
   def polyHash(c: String): org.apache.spark.sql.Column =
-    expr(s"aggregate(sequence(1, length($c)), 0L, " +
-      s"(a, i) -> (a * 131 + ascii(substring($c, i, 1))) % 1000000007)")
+    graft.api.Text.polyHash(c)
 
   /** DuckDB twin of [[polyHash]] — same fold, same integers. */
   def polyHashSql(c: String): String =

@@ -280,8 +280,8 @@ object VectorOps extends graft.QueryModule {
     import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
     val feats = emb(s, dir).select(col("vec_id"), toVec(col("e")).as("raw"))
-    val train = feats.where(pmod(col("vec_id"), lit(5)) =!= 0)
-    val test = feats.where(pmod(col("vec_id"), lit(5)) === 0)
+    val train = graft.api.Ml.exceptFold(feats, "vec_id", 5, 0)
+    val test = graft.api.Ml.fold(feats, "vec_id", 5, 0)
     val km = new KMeans().setK(10).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("raw").setPredictionCol("target").fit(train)
     val lr = new LogisticRegression().setMaxIter(5).setRegParam(0.01)
@@ -291,18 +291,7 @@ object VectorOps extends graft.QueryModule {
       .transform(km.transform(test).withColumn("t", col("target").cast("double")))
       .select(col("t").cast("long").as("label"),
         col("prediction").cast("long").as("pred"))
-    val byLabel = scored.groupBy("label").agg(
-      count(lit(1)).as("support"),
-      sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("tp"))
-    val byPred = scored.groupBy(col("pred").as("label"))
-      .agg(count(lit(1)).as("predicted"))
-    byLabel.join(byPred, Seq("label"), "left")
-      .na.fill(0L, Seq("predicted"))
-      .select(col("label"), col("support"), col("tp"), col("predicted"),
-        expr("(1000000 * tp) div support").as("recall_ppm"),
-        expr("CASE WHEN predicted > 0 THEN (1000000 * tp) div predicted " +
-          "ELSE 0 END").as("precision_ppm"))
-      .orderBy("label")
+    graft.api.Ml.confusionSummary(scored, "label", "pred").orderBy("label")
   }
 
   /** CrossValidator-shaped model selection (the third leg of the

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The parametric library surface (graft.api) exercised on SYNTHETIC
+  * frames — proving the operators are fixture-independent: a user
+  * points them at their own tables. The graded queries are thin
+  * adapters over these same functions, so fixture correctness is
+  * covered by the oracle gate; this ring pins the API contract. */
+class ApiSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def docs = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      // near dup of 1: only the final trigram differs -> shingle
+      // jaccard 6/8 = 0.75, expected minhash agreement ~12/16
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely different content with no overlap at all"))
+      .toDF("id", "body")
+  }
+
+  test("Text.tokens: ordinal positions, lowercasing, custom columns") {
+    val t = api.Text.tokens(docs, "id", "body")
+    assert(t.where(col("id") === 1L).count() == 9)
+    val first = t.where(col("id") === 1L && col("ord") === 1)
+      .select("token").head.getString(0)
+    assert(first == "the")
+  }
+
+  test("Text.shingles: distinct k-grams, k parametric") {
+    val s3 = api.Text.shingles(docs, "id", "body", 3)
+    // 9 tokens -> 7 trigrams, all distinct in this sentence
+    assert(s3.where(col("id") === 1L).count() == 7)
+    val s5 = api.Text.shingles(docs, "id", "body", 5)
+    assert(s5.where(col("id") === 1L).count() == 5)
+  }
+
+  test("Dedup.exact + byContentMd5 agree: survivor=min, dup counted") {
+    val e = api.Dedup.exact(docs, "id", Seq("body"))
+    assert(e.count() == 3)
+    assert(e.where(col("dup_cnt") === 2).select("survivor").head.getLong(0) == 1L)
+    val m = api.Dedup.byContentMd5(docs, "id", "body")
+    assert(m.count() == 3)
+    assert(m.agg(sum("dup_cnt")).head.getLong(0) == 4L)
+  }
+
+  test("Dedup.minhash: exact dup agrees on all slots, near dup on most") {
+    val sig = api.Dedup.minhashSignatures(
+      api.Text.shingles(docs, "id", "body", 3), "id",
+      operators.TextOps.permTable)
+    val cand = api.Dedup.minhashCandidates(sig, "id", minMatches = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cand((1L, 2L)) == 16L, "identical docs must agree on all 16 slots")
+    assert(cand.contains((1L, 3L)) || cand.contains((2L, 3L)),
+      "near-dup should band-join with >= 8 matches")
+    assert(!cand.exists { case ((a, b), _) => b == 4L || a == 4L },
+      "disjoint doc must produce no candidate pair")
+  }
+
+  test("Dedup.jaccardPairs: dup pair has jaccard 1.0, threshold filters") {
+    val sh = api.Text.shingles(docs, "id", "body", 3)
+    val p = api.Dedup.jaccardPairs(sh, "id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(p((1L, 2L)) == 1.0)
+    assert(p((1L, 3L)) == 0.75)
+    assert(!p.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("Ml.fold/exceptFold partition the frame; confusionSummary math") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 100L).toDF("id")
+    val f0 = api.Ml.fold(df, "id", 5, 0)
+    val rest = api.Ml.exceptFold(df, "id", 5, 0)
+    assert(f0.count() == 20 && rest.count() == 80)
+    assert(f0.join(rest, "id").count() == 0)
+    val scored = Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L))
+      .toDF("y", "p")
+    val cs = api.Ml.confusionSummary(scored, "y", "p")
+      .orderBy("label").collect()
+    // label 0: support 3, tp 2, predicted 3 -> recall 666666, precision 666666
+    assert(cs(0).getLong(1) == 3 && cs(0).getLong(2) == 2 &&
+      cs(0).getLong(3) == 3 && cs(0).getLong(4) == 666666L)
+    // label 1: support 2, tp 1, predicted 2
+    assert(cs(1).getLong(1) == 2 && cs(1).getLong(2) == 1 &&
+      cs(1).getLong(3) == 2 && cs(1).getLong(5) == 500000L)
+  }
+}
