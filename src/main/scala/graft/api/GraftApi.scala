@@ -116,6 +116,37 @@ object Dedup {
   }
 }
 
+object Sim {
+
+  /** Exact cosine top-k: each probe row against the whole corpus.
+    * Probes are broadcast (must be small — the caller picks them); the
+    * corpus streams through one scan. Norms are computed ONCE per
+    * vector before the pair blowup; the per-pair dot is the native
+    * loop-codegen `graft_dot` expression. Ranked on the ROUNDED cosine
+    * with id tie-break so float noise cannot flip orderings. Both
+    * inputs: (idCol, vecCol: array<double>). Output:
+    * (probe_id, idCol, cos, rn). */
+  def cosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExprs.ensureRegistered(corpus.sparkSession)
+    val all = corpus.select(col(idCol), col(vecCol).as("e2"))
+      .withColumn("n2", expr("sqrt(graft_dot(e2, e2))"))
+    val pr = probes.select(col(idCol).as("probe_id"), col(vecCol).as("e1"))
+      .withColumn("n1", expr("sqrt(graft_dot(e1, e1))"))
+    val pairs = all.crossJoin(broadcast(pr))
+      .where(col(idCol) =!= col("probe_id"))
+      .withColumn("cos",
+        round(expr("graft_dot(e1, e2)") / (col("n1") * col("n2")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("probe_id"), col(idCol), col("cos"),
+        col("rn").cast("long").as("rn"))
+  }
+}
+
 object Ml {
 
   /** Deterministic k-way split on an integer id column: returns the

@@ -31,25 +31,11 @@ object VectorOps extends graft.QueryModule {
     * loop-codegen graft_dot expression (VectorExprs, SURVEY §4.3);
     * cos = dot/(na*nb) is the same ascending-order double arithmetic
     * as the oracle's list_cosine_similarity. */
-  def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExprs.ensureRegistered(s)
-    def normOf(c: String) = s"sqrt(graft_dot($c, $c))"
-    val all = emb(s, dir).select(col("vec_id"), col("e").as("e2"))
-      .withColumn("n2", expr(normOf("e2")))
-    val probes = emb(s, dir).where(col("vec_id") <= 20)
-      .select(col("vec_id").as("probe_id"), col("e").as("e1"))
-      .withColumn("n1", expr(normOf("e1")))
-    val dotExpr = "graft_dot(e1, e2)"
-    val pairs = all.crossJoin(broadcast(probes))
-      .where(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    pairs.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 5)
-      .select(col("probe_id"), col("vec_id"), col("cos"), col("rn").cast("long").as("rn"))
+  def simCosineTopk(s: SparkSession, dir: String): DataFrame =
+    graft.api.Sim.cosineTopK(
+        corpus = emb(s, dir), probes = emb(s, dir).where(col("vec_id") <= 20),
+        idCol = "vec_id", vecCol = "e", k = 5)
       .orderBy("probe_id", "rn")
-  }
 
   /** Random-hyperplane LSH bucketing (BucketedRandomProjectionLSH
     * semantics, deterministic reimpl): 6 tables x 3 sign-bits from

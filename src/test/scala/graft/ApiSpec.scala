@@ -71,6 +71,23 @@ class ApiSpec extends AnyFunSuite {
     assert(!p.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("Sim.cosineTopK: known 2-D geometry ranks correctly") {
+    val sp = spark
+    import sp.implicits._
+    // probe (1,0); corpus: same dir, 45 deg, orthogonal, opposite
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(2.0, 0.0)),
+      (3L, Array(1.0, 1.0)), (4L, Array(0.0, 1.0)), (5L, Array(-1.0, 0.0)))
+      .toDF("id", "v")
+    val top = api.Sim.cosineTopK(vecs, vecs.where($"id" === 1L), "id", "v", 4)
+      .orderBy("rn").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L, 5L))
+    assert(top(0).getDouble(2) == 1.0)      // parallel
+    assert(top(1).getDouble(2) == 0.707107) // cos 45 rounded to 6
+    assert(top(2).getDouble(2) == 0.0)      // orthogonal
+    assert(top(3).getDouble(2) == -1.0)     // opposite
+  }
+
   test("Ml.fold/exceptFold partition the frame; confusionSummary math") {
     val sp = spark
     import sp.implicits._
