@@ -113,8 +113,11 @@ object TextOps extends graft.QueryModule {
       count(lit(1)).as("n_docs"),
       sum(col("n_chars")).as("sum_chars"),
       sum(col("n_toks").cast("long")).as("sum_tokens"))
-    val vocab = tokens(s, dir)
-      .join(broadcast(Tables.documents(s, dir).select("doc_id", "lang")), "doc_id")
+    // tokenize carrying lang directly — no doc_id->lang broadcast join
+    // and no positional ordinals; one explode feeding one distinct-agg
+    val vocab = Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("token"))
       .groupBy("lang").agg(countDistinct(col("token")).as("vocab_size"))
     docStats.join(vocab, "lang")
       .select(col("lang"), col("n_docs"),

@@ -74,6 +74,30 @@ object PropertySpec extends Properties("graft.arithmetic") {
       ppm <= real * 1000000 + 1e-6 && ppm >= real * 1000000 - 1
     }
 
+  // polyHash (the distributed id-assignment hash): the Horner fold
+  // equals the positional polynomial sum c_i * 131^(n-i) mod p — the
+  // algebra both the Spark `aggregate` lambda and the DuckDB
+  // list_reduce twin implement.
+  private def polyHashScala(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 131 + c.toInt) % 1000000007L)
+  property("polyHash fold == positional polynomial, range-bounded") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)) { s =>
+      val p = 1000000007L
+      val positional = s.zipWithIndex.map { case (c, i) =>
+        var pw = 1L
+        (0 until (s.length - 1 - i)).foreach(_ => pw = pw * 131 % p)
+        c.toInt * pw % p
+      }.foldLeft(0L)((a, b) => (a + b) % p)
+      val h = polyHashScala(s)
+      h == positional && h >= 0 && h < p
+    }
+  // Cross-engine pin: this exact constant was probed identical from
+  // DuckDB's list_reduce fold (round 3) — if the Scala fold drifts,
+  // the Spark/DuckDB twin contract is broken.
+  property("polyHash cross-engine known answer") = Prop {
+    polyHashScala("big data query") == 41016958L
+  }
+
   // graft_dot interpreted eval == ascending-order left fold, BIT-exact
   // (the codegen path is pinned by VectorExprsSpec; this pins the
   // eval/codegen-equivalence contract on the interpreted side).
