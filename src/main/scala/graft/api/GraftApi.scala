@@ -89,6 +89,29 @@ object Dedup {
       .where(col("matches") >= minMatches)
   }
 
+  /** SimHash signatures over a tf-weighted token table
+    * (idCol, tokenCol, tfCol): `bits`-bit signature per id, token
+    * hashes from the polynomial string hash mapped through a fixed
+    * affine permutation — one grouped aggregation with `bits`
+    * conditional sums, no vocabulary table. Ids sharing a signature
+    * are near-dup bucket candidates. */
+  def simhash(tf: DataFrame, idCol: String, tokenCol: String,
+      tfCol: String, bits: Int = 16): DataFrame = {
+    val hashed = tf
+      .withColumn("tid", Text.polyHash(tokenCol))
+      .withColumn("h",
+        (lit(1103515245L) * col("tid") + lit(12345L)) % lit(2147483647L))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, col(tfCol))
+        .otherwise(-col(tfCol))).as(s"s$j")
+    }
+    hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until bits).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+      .select(col(idCol), col("simhash"))
+  }
+
   /** Exact pairwise Jaccard >= `threshold` over a (idCol, shingle)
     * table, group-then-pair with a posting-list cap as the skew guard
     * (a shingle shared by more than `maxPosting` ids contributes no

@@ -125,17 +125,7 @@ object ExtraText extends graft.QueryModule {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val tf = TextOps.tokens(s, dir)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val hashed = tf
-      .withColumn("tid", TextOps.polyHash("token"))
-      .withColumn("h", (lit(1103515245L) * col("tid") + lit(12345L)) % lit(2147483647L))
-    val bitSums = (0 until 16).map { j =>
-      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"s$j")
-    }
-    val sig = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash",
-        (0 until 16).map(j =>
-          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+    val sig = graft.api.Dedup.simhash(tf, "doc_id", "token", "tf", bits = 16)
     sig.groupBy("simhash")
       .agg(count(lit(1)).as("bucket_size"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))

@@ -268,7 +268,10 @@ object VectorOps extends graft.QueryModule {
     val feats = emb(s, dir).select(col("vec_id"), toVec(col("e")).as("raw"))
     val train = graft.api.Ml.exceptFold(feats, "vec_id", 5, 0)
     val test = graft.api.Ml.fold(feats, "vec_id", 5, 0)
-    val km = new KMeans().setK(10).setSeed(42L).setMaxIter(8)
+    // maxIter 5 (not the kmeans-helper's 8): the target only needs a
+    // deterministic partition, and iterations dominate the demo's cost
+    // (measured 16.6 -> 5.6 s at sf0.1; held-out acc 0.875 -> 0.84)
+    val km = new KMeans().setK(10).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("raw").setPredictionCol("target").fit(train)
     val lr = new LogisticRegression().setMaxIter(5).setRegParam(0.01)
       .setLabelCol("t").setFeaturesCol("raw")
@@ -299,7 +302,7 @@ object VectorOps extends graft.QueryModule {
     import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
     val feats = emb(s, dir).select(col("vec_id"), toVec(col("e")).as("raw"))
-    val km = new KMeans().setK(10).setSeed(42L).setMaxIter(8)
+    val km = new KMeans().setK(10).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("raw").setPredictionCol("target").fit(feats)
     val labeled = km.transform(feats)
       .withColumn("t", col("target").cast("double"))

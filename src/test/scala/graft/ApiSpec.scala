@@ -71,6 +71,16 @@ class ApiSpec extends AnyFunSuite {
     assert(!p.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("Dedup.simhash: identical token profiles share a signature") {
+    val tf = api.Text.tokens(docs, "id", "body")
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val sig = api.Dedup.simhash(tf, "id", "token", "tf")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L), "exact dups must bucket together")
+    assert(sig.values.forall(h => h >= 0 && h < (1L << 16)))
+    assert(sig(1L) != sig(4L), "disjoint docs should not collide")
+  }
+
   test("Sim.cosineTopK: known 2-D geometry ranks correctly") {
     val sp = spark
     import sp.implicits._
