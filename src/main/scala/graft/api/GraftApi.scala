@@ -33,6 +33,23 @@ object Text {
           s"i -> concat($parts)))")).as("shingle"))
   }
 
+  /** TF-IDF per (id, token) with MLlib's smoothed formula
+    * idf = ln((N+1)/(df+1)). One tokenize pass: df derives from tf
+    * (already one row per (id, token)), doc count and df join back as
+    * broadcasts. Output: (idCol, token, tf, idf, tfidf). */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+      .select(col(idCol), col("token"), col("tf"),
+        round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+          .as("idf"),
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+          .as("tfidf"))
+  }
+
   /** Horner polynomial hash of a string column, base 131 mod 1e9+7 —
     * a pure projection usable as a distributed id assignment (no vocab
     * table, no global sort). Engine-neutral: integer-identical to a
@@ -136,6 +153,25 @@ object Dedup {
           (col("sz1") + col("sz2") - col("inter")), 6))
       .where(col("jaccard") >= threshold)
       .select("d1", "d2", "inter", "jaccard")
+  }
+}
+
+object Vec {
+
+  /** Int8 quantization (the storage-shrink step before ANN indexing):
+    * per-`groupCol` max-abs scale, q = floor(x*127/mx) — floor has no
+    * half-way tie, so results are engine-exact on identical doubles.
+    * Output: input columns + `scale` (double) + `q` (array<bigint>,
+    * values in [-128, 127]). */
+  def quantizeInt8(vecs: DataFrame, vecCol: String,
+      groupCol: String): DataFrame = {
+    val mx = vecs.select(col(groupCol), explode(col(vecCol)).as("v"))
+      .groupBy(col(groupCol))
+      .agg(greatest(max(abs(col("v"))), lit(1e-12)).as("mx"))
+    vecs.join(broadcast(mx), groupCol)
+      .withColumn("q",
+        expr(s"transform($vecCol, x -> cast(floor(x * 127.0 / mx) AS bigint))"))
+      .withColumnRenamed("mx", "scale")
   }
 }
 

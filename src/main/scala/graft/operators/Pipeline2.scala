@@ -45,16 +45,13 @@ object Pipeline2 extends graft.QueryModule {
   def vecQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("e", expr("transform(embedding, x -> cast(x AS double))"))
-    val mx = e.select(col("label"), explode(col("e")).as("v"))
-      .groupBy("label").agg(greatest(max(abs(col("v"))), lit(1e-12)).as("mx"))
-    e.join(broadcast(mx), "label")
+    // §2.0.8: the graded projection flattens the api's array<bigint>
+    // into scalar columns (first 4 elements + total)
+    graft.api.Vec.quantizeInt8(e, "e", "label")
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        expr("cast(floor(e[0] * 127.0 / mx) AS bigint)").as("q0"),
-        expr("cast(floor(e[1] * 127.0 / mx) AS bigint)").as("q1"),
-        expr("cast(floor(e[2] * 127.0 / mx) AS bigint)").as("q2"),
-        expr("cast(floor(e[3] * 127.0 / mx) AS bigint)").as("q3"),
-        expr("aggregate(e, 0L, (a, x) -> a + cast(floor(x * 127.0 / mx) AS bigint))")
-          .as("qsum"))
+        expr("q[0]").as("q0"), expr("q[1]").as("q1"),
+        expr("q[2]").as("q2"), expr("q[3]").as("q3"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("qsum"))
       .orderBy("vec_id")
   }
 

@@ -88,22 +88,11 @@ object TextOps extends graft.QueryModule {
       .orderBy("doc_id", "token")
 
   /** TF-IDF with MLlib's smoothed formula idf = ln((N+1)/(df+1))
-    * (differs from the ln(N/df) textbook form — documented). */
-  def textTfidf(s: SparkSession, dir: String): DataFrame = {
-    val tf = tokens(s, dir)
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    // df derives from tf (one row per (doc, token) already) — avoids a
-    // second explode over the corpus
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df), "token").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("token"), col("tf"),
-        round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
-          .as("idf"),
-        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
-          .as("tfidf"))
+    * (differs from the ln(N/df) textbook form — documented).
+    * Fixture binding of graft.api.Text.tfidf. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.api.Text.tfidf(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id", "token")
-  }
 
   /** Corpus profile per language. */
   def textStats(s: SparkSession, dir: String): DataFrame = {

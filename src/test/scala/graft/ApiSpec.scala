@@ -81,6 +81,32 @@ class ApiSpec extends AnyFunSuite {
     assert(sig(1L) != sig(4L), "disjoint docs should not collide")
   }
 
+  test("Vec.quantizeInt8: known scale, floor semantics, range") {
+    val sp = spark
+    import sp.implicits._
+    // group 7: max-abs 2.0 -> q = floor(x * 63.5)
+    val v = Seq((1L, 7L, Array(2.0, -2.0, 1.0, 0.0)),
+      (2L, 7L, Array(0.5, -0.5, 0.1, -0.1)))
+      .toDF("id", "grp", "v")
+    val q = api.Vec.quantizeInt8(v, "v", "grp")
+      .orderBy("id").collect()
+    assert(q(0).getAs[scala.collection.Seq[Long]]("q").toSeq ==
+      Seq(127L, -127L, 63L, 0L))
+    assert(q(1).getAs[scala.collection.Seq[Long]]("q").toSeq ==
+      Seq(31L, -32L, 6L, -7L))
+    assert(q(0).getAs[Double]("scale") == 2.0)
+  }
+
+  test("Text.tfidf: all-doc token has idf 0, tf counts exact") {
+    val t = api.Text.tfidf(docs, "id", "body")
+    // "the" appears in docs 1-3 twice, doc 4 not at all -> idf > 0
+    val the = t.where(col("token") === "the" && col("id") === 1L).head
+    assert(the.getLong(2) == 2L)
+    // a token present in every doc would have idf ln(5/5)=0; here no
+    // token spans all 4 docs, so every idf must be > 0
+    assert(t.where(col("idf") <= 0).count() == 0)
+  }
+
   test("Sim.cosineTopK: known 2-D geometry ranks correctly") {
     val sp = spark
     import sp.implicits._
