@@ -177,6 +177,46 @@ object Vec {
 
 object Sim {
 
+  /** Random-hyperplane LSH bucket assignment
+    * (BucketedRandomProjectionLSH semantics, deterministic reimpl):
+    * `tables` hash tables of `bits` sign-bits each from seeded
+    * pseudo-random planes. One posexplode + broadcast-planes join +
+    * (tables*bits)-column sum — a single corpus scan and a narrow
+    * shuffle; at scale this is a map-side join + partial agg.
+    * Output: (idCol, tbl, bkt) — equi-join two of these on (tbl, bkt)
+    * for ANN candidates. */
+  def lshBuckets(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, tables: Int, bits: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.{Row, types => T}
+    val nPlanes = tables * bits
+    val rnd = new scala.util.Random(seed)
+    val planes: Array[Array[Double]] = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val planeRows = (0 until dim).map { d =>
+      Row.fromSeq(d +: (0 until nPlanes).map(j => planes(j)(d)))
+    }
+    val planeSchema = T.StructType(
+      T.StructField("dim", T.IntegerType) +:
+        (0 until nPlanes).map(j => T.StructField(s"w$j", T.DoubleType)))
+    val s = vecs.sparkSession
+    val planesDf = s.createDataFrame(
+      s.sparkContext.parallelize(planeRows, 1), planeSchema)
+    val exploded = vecs
+      .select(col(idCol), posexplode(col(vecCol)))
+      .select(col(idCol), col("pos").as("dim"), col("col").as("v"))
+    val dotCols = (0 until nPlanes).map(j => sum(col("v") * col(s"w$j")).as(s"d$j"))
+    val dots = exploded.join(broadcast(planesDf), "dim")
+      .groupBy(col(idCol)).agg(dotCols.head, dotCols.tail: _*)
+    val bktCols = (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        when(col(s"d${t * bits + b}") > 0, 1).otherwise(0) * (1 << b)
+      }.reduce(_ + _).as(s"bkt_$t")
+    }
+    val bucketed = dots.select(col(idCol) +: bktCols: _*)
+    val stackExpr = s"stack($tables, " +
+      (0 until tables).map(t => s"$t, bkt_$t").mkString(", ") + ") AS (tbl, bkt)"
+    bucketed.select(col(idCol), expr(stackExpr))
+  }
+
   /** Exact cosine top-k: each probe row against the whole corpus.
     * Probes are broadcast (must be small — the caller picks them); the
     * corpus streams through one scan. Norms are computed ONCE per

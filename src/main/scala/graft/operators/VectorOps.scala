@@ -44,38 +44,12 @@ object VectorOps extends graft.QueryModule {
     * the exact baseline. */
   def simLshBucketed(s: SparkSession, dir: String): DataFrame = {
     // 18 fixed pseudo-random hyperplanes as a 64-row broadcast table
-    // (dim, w0..w17). Dots come from ONE posexplode + broadcast join +
-    // 18-column sum — a single scan and a narrow shuffle, instead of a
+    // inside api.Sim.lshBuckets — ONE posexplode + broadcast join +
+    // 18-column sum, a single scan and a narrow shuffle, instead of a
     // 6-way union that re-scans the corpus with giant array literals
-    // (measured 24.8 s -> ~1.5 s at sf0.1); at 100 TB this shape is a
-    // plain map-side join + partial agg.
-    val rnd = new scala.util.Random(42)
-    val planes: Array[Array[Double]] = Array.fill(18, 64)(rnd.nextGaussian())
-    val planeRows = (0 until 64).map { d =>
-      org.apache.spark.sql.Row.fromSeq(d +: (0 until 18).map(j => planes(j)(d)))
-    }
-    val planeSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("dim",
-        org.apache.spark.sql.types.IntegerType) +:
-        (0 until 18).map(j => org.apache.spark.sql.types.StructField(
-          s"w$j", org.apache.spark.sql.types.DoubleType)))
-    val planesDf = s.createDataFrame(
-      s.sparkContext.parallelize(planeRows, 1), planeSchema)
-    val exploded = emb(s, dir)
-      .select(col("vec_id"), posexplode(col("e")))
-      .select(col("vec_id"), col("pos").as("dim"), col("col").as("v"))
-    val dotCols = (0 until 18).map(j => sum(col("v") * col(s"w$j")).as(s"d$j"))
-    val dots = exploded.join(broadcast(planesDf), "dim")
-      .groupBy("vec_id").agg(dotCols.head, dotCols.tail: _*)
-    val bktCols = (0 until 6).map { t =>
-      (0 until 3).map { b =>
-        when(col(s"d${t * 3 + b}") > 0, 1).otherwise(0) * (1 << b)
-      }.reduce(_ + _).as(s"bkt_$t")
-    }
-    val bucketed = dots.select(col("vec_id") +: bktCols: _*)
-    val stackExpr = "stack(6, " +
-      (0 until 6).map(t => s"$t, bkt_$t").mkString(", ") + ") AS (tbl, bkt)"
-    val buckets = bucketed.select(col("vec_id"), expr(stackExpr))
+    // (measured 24.8 s -> ~1.5 s at sf0.1).
+    val buckets = graft.api.Sim.lshBuckets(emb(s, dir), "vec_id", "e",
+      dim = 64, tables = 6, bits = 3, seed = 42L)
     val probeBuckets = buckets.where(col("vec_id") <= 20)
       .select(col("vec_id").as("probe_id"), col("tbl"), col("bkt"))
     val candIds = buckets.join(broadcast(probeBuckets), Seq("tbl", "bkt"))

@@ -124,6 +124,25 @@ class ApiSpec extends AnyFunSuite {
     assert(top(3).getDouble(2) == -1.0)     // opposite
   }
 
+  test("Sim.lshBuckets: identical vectors share every bucket, seeded-stable") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5, -0.2, 0.8)), (2L, Array(0.5, -0.2, 0.8)),
+      (3L, Array(-0.5, 0.2, -0.8)))
+      .toDF("id", "v")
+    val b = api.Sim.lshBuckets(vecs, "id", "v", dim = 3, tables = 4,
+      bits = 2, seed = 7L)
+    assert(b.count() == 12) // 3 ids x 4 tables
+    val byId = b.collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(r => (r.getInt(1), r.getInt(2))).toSet }
+    assert(byId(1L) == byId(2L), "identical vectors must bucket identically")
+    // opposite vector flips every sign bit -> complementary buckets
+    assert(byId(1L).intersect(byId(3L)).isEmpty)
+    val b2 = api.Sim.lshBuckets(vecs, "id", "v", 3, 4, 2, 7L).collect().toSet
+    assert(b2 == b.collect().toSet, "seeded planes must be reproducible")
+  }
+
   test("Ml.fold/exceptFold partition the frame; confusionSummary math") {
     val sp = spark
     import sp.implicits._
