@@ -23,6 +23,7 @@ object SparkEntry {
     operators.ExtraVector,
     operators.Misc,
     operators.Pipeline2,
+    operators.Pipeline3,
     streaming.StreamOps,
     functions.Scalars,
     functions.Udx

@@ -154,6 +154,54 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("d1", "d2", "inter", "jaccard")
   }
+
+  /** Connected components over an undirected edge list — the canonical
+    * "collapse near-dup pairs into clusters, keep one doc per cluster"
+    * step after any of the pair generators above. Iterative min-label
+    * propagation: every node starts labeled with itself; each round a
+    * node adopts the smallest label among itself and its neighbors;
+    * converged when no label shrinks. Output: (node, label) where label
+    * = the component's minimum node id.
+    *
+    * 100 TB notes: this is the Pregel-style CC loop (each round = one
+    * edge-labels hash join + one hash agg, both partitioned by node —
+    * never a global sort or driver-side graph). Rounds needed = graph
+    * diameter; near-dup graphs are unions of small near-cliques, so it
+    * converges in 2-3 rounds. Each round's result is localCheckpoint'ed
+    * (eager) to cut lineage — without it, round k re-executes rounds
+    * 1..k-1 and the plan grows superlinearly; stale checkpoint RDDs are
+    * released by Spark's ContextCleaner once the loop drops them. */
+  def connectedComponents(edges: DataFrame, a: String = "d1",
+      b: String = "d2", maxIter: Int = 25): DataFrame = {
+    val und = edges
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .union(edges
+        .select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    // labels only ever shrink, so sum(label) strictly decreases iff any
+    // node changed — one scalar agg per round, no join-diff.
+    def tot(df: DataFrame): BigDecimal =
+      BigDecimal(df.agg(sum(col("label")).cast("decimal(38,0)")).head.getDecimal(0))
+    var prev = tot(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = und.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val cur = tot(next)
+      converged = cur == prev
+      prev = cur
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 }
 
 object Vec {

@@ -36,7 +36,7 @@ object TextOps extends graft.QueryModule {
       |      FROM (SELECT doc_id, str_split(lower(text), ' ') AS tokens FROM documents))
       |WHERE tokens[s] <> ''""".stripMargin
 
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     """SELECT doc_id, unnest(list_distinct(
       |  [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l)-1)])) AS shingle
       |FROM (SELECT doc_id, str_split(lower(text), ' ') AS l FROM documents)

@@ -100,6 +100,40 @@ class StreamingSpec extends AnyFunSuite {
     assertSame(throughStream("t_dedup", data, streaming.StreamOps.dedup), batch)
   }
 
+  test("stream-stream interval join == batch attribution pairs") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val data = eventsSample()
+    val clicksMem = MemoryStream[Ev]
+    val purchMem = MemoryStream[Ev]
+    def clicks(df: DataFrame): DataFrame = df
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    def purchases(df: DataFrame): DataFrame = df
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    def joined(c: DataFrame, p: DataFrame): DataFrame =
+      c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("click_ts"), col("p_ts"), col("p_value"))
+    val q = joined(
+        clicks(clicksMem.toDF()).withWatermark("click_ts", "1 hour"),
+        purchases(purchMem.toDF()).withWatermark("p_ts", "1 hour"))
+      .writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = data.splitAt(data.size / 2)
+      clicksMem.addData(a); purchMem.addData(a); q.processAllAvailable()
+      clicksMem.addData(b); purchMem.addData(b); q.processAllAvailable()
+      val batchEv = Tables.events(spark, dir)
+      assertSame(sp.table("t_ssjoin").cache(),
+        joined(clicks(batchEv), purchases(batchEv)))
+    } finally q.stop()
+  }
+
   test("watermark drops events later than 10 minutes behind max ts") {
     val sp = spark
     import sp.implicits._
