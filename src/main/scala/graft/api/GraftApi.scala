@@ -173,10 +173,13 @@ object Dedup {
     * released by Spark's ContextCleaner once the loop drops them. */
   def connectedComponents(edges: DataFrame, a: String = "d1",
       b: String = "d2", maxIter: Int = 25): DataFrame = {
-    val und = edges
+    // checkpoint the directed edges BEFORE mirroring: union(e, e.swap)
+    // over the raw input would execute the (possibly expensive) pair-
+    // generation pipeline once per union branch.
+    val e0 = edges
       .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
-      .union(edges
-        .select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
+      .localCheckpoint(true)
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))

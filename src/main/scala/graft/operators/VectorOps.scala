@@ -205,8 +205,12 @@ object VectorOps extends graft.QueryModule {
     import org.apache.spark.ml.feature.StandardScaler
     import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    // scaler fit + LR fit each rescan unless cached; the fit is eager,
+    // so unpersist right after — the returned lazy transform rescans
+    // the source once.
     val feats = emb(s, dir).select(col("vec_id"),
       col("label").cast("double").as("label"), toVec(col("e")).as("raw"))
+      .persist()
     val pipe = new Pipeline().setStages(Array(
       new StandardScaler().setInputCol("raw").setOutputCol("features")
         .setWithMean(true).setWithStd(true),
@@ -214,7 +218,7 @@ object VectorOps extends graft.QueryModule {
       // few L-BFGS rounds on this corpus; the cap keeps the run-once
       // cost deterministic
       new LogisticRegression().setMaxIter(5).setRegParam(0.01)))
-    val model = pipe.fit(feats)
+    val model = try pipe.fit(feats) finally feats.unpersist(false)
     model.transform(feats)
       .groupBy(col("label").cast("long").as("label"),
         col("prediction").cast("long").as("pred"))
@@ -240,16 +244,22 @@ object VectorOps extends graft.QueryModule {
     import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
     val feats = emb(s, dir).select(col("vec_id"), toVec(col("e")).as("raw"))
-    val train = graft.api.Ml.exceptFold(feats, "vec_id", 5, 0)
+    // the KMeans init + 5 iters and the LR fit each rescan train unless
+    // cached; both fits are eager, so unpersist right after them — only
+    // the cheap lazy test-side transform rescans the source.
+    val train = graft.api.Ml.exceptFold(feats, "vec_id", 5, 0).persist()
     val test = graft.api.Ml.fold(feats, "vec_id", 5, 0)
     // maxIter 5 (not the kmeans-helper's 8): the target only needs a
     // deterministic partition, and iterations dominate the demo's cost
     // (measured 16.6 -> 5.6 s at sf0.1; held-out acc 0.875 -> 0.84)
-    val km = new KMeans().setK(10).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("raw").setPredictionCol("target").fit(train)
-    val lr = new LogisticRegression().setMaxIter(5).setRegParam(0.01)
-      .setLabelCol("t").setFeaturesCol("raw")
-      .fit(km.transform(train).withColumn("t", col("target").cast("double")))
+    val (km, lr) = try {
+      val km = new KMeans().setK(10).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("raw").setPredictionCol("target").fit(train)
+      val lr = new LogisticRegression().setMaxIter(5).setRegParam(0.01)
+        .setLabelCol("t").setFeaturesCol("raw")
+        .fit(km.transform(train).withColumn("t", col("target").cast("double")))
+      (km, lr)
+    } finally train.unpersist(false)
     val scored = lr
       .transform(km.transform(test).withColumn("t", col("target").cast("double")))
       .select(col("t").cast("long").as("label"),
@@ -275,26 +285,38 @@ object VectorOps extends graft.QueryModule {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    // every fit/score action below re-derives this frame (scan + UDF +
+    // KMeans.transform) unless cached: persist across the 4 fits + 4
+    // scorings, unpersist before returning. Safe — all actions here are
+    // eager (.head), so nothing lazy outlives the cache.
     val feats = emb(s, dir).select(col("vec_id"), toVec(col("e")).as("raw"))
+      .persist()
     val km = new KMeans().setK(10).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("raw").setPredictionCol("target").fit(feats)
     val labeled = km.transform(feats)
       .withColumn("t", col("target").cast("double"))
       .withColumn("fold", pmod(col("vec_id"), lit(2)))
+      .persist()
+    labeled.count()
     val grid = Seq(0.01, 1.0)
-    val rows = grid.map { reg =>
-      val perFold = (0 to 1).map { f =>
-        val model = new LogisticRegression().setMaxIter(5).setRegParam(reg)
-          .setLabelCol("t").setFeaturesCol("raw")
-          .fit(labeled.where(col("fold") =!= f))
-        val scored = model.transform(labeled.where(col("fold") === f))
-        val agg = scored.agg(
-          sum(when(col("t") === col("prediction"), 1L).otherwise(0L)),
-          count(lit(1))).head
-        (agg.getLong(0), agg.getLong(1))
+    val rows = try {
+      grid.map { reg =>
+        val perFold = (0 to 1).map { f =>
+          val model = new LogisticRegression().setMaxIter(5).setRegParam(reg)
+            .setLabelCol("t").setFeaturesCol("raw")
+            .fit(labeled.where(col("fold") =!= f))
+          val scored = model.transform(labeled.where(col("fold") === f))
+          val agg = scored.agg(
+            sum(when(col("t") === col("prediction"), 1L).otherwise(0L)),
+            count(lit(1))).head
+          (agg.getLong(0), agg.getLong(1))
+        }
+        val (correct, total) = perFold.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+        (reg, 1000000L * correct / total, correct, total)
       }
-      val (correct, total) = perFold.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
-      (reg, 1000000L * correct / total, correct, total)
+    } finally {
+      labeled.unpersist(false)
+      feats.unpersist(false)
     }
     val best = rows.maxBy { case (reg, acc, _, _) => (acc, -reg) }._1
     val sp = s
