@@ -105,4 +105,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q_stream_join is an equi-join on user (range residual), never cartesian") {
+    val plan = physical("q_stream_join")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_join_bloom_prefilter filters orders BELOW the join (pre-shuffle)") {
+    // the bloom UDF must sit on the scan side of the join, not above it:
+    // in the plan string the filter on o_custkey appears after (=deeper
+    // than) the join operator and directly over the orders scan subtree.
+    val plan = physical("q_join_bloom_prefilter")
+    val joinAt = plan.indexOf("Join")
+    val udfAt = "UDF\\(\\w*\\(?o_custkey".r.findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    assert(joinAt >= 0 && udfAt > joinAt, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
