@@ -108,13 +108,89 @@ object Pipeline3 extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** StringIndexer + OneHotEncoder semantics, engine-neutral: index =
+    * rank by (frequency DESC, value ASC) — exactly MLlib's
+    * frequencyDesc order with its alphabetical tie-break — then one
+    * indicator column per category. The index table is an aggregation
+    * of the 5-value segment domain (bounded: the global window sorts 5
+    * rows, not the fact table) broadcast back onto customers. At 100 TB
+    * the domain table stays tiny while the fact side never shuffles. */
+  def mlFeatureOnehot(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val idx = cust.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("sidx",
+        (row_number().over(Window.orderBy(col("freq").desc,
+          col("c_mktsegment").asc)) - 1).cast("long"))
+      .select("c_mktsegment", "sidx")
+    val oh = (0 until 5).map(i =>
+      (col("sidx") === i).cast("long").as(s"oh_$i"))
+    cust.join(broadcast(idx), "c_mktsegment")
+      .select(Seq(col("c_custkey"), col("c_mktsegment"), col("sidx")) ++ oh: _*)
+      .orderBy("c_custkey")
+  }
+
+  /** Deterministic stratified downsample: at most 50 docs per lang,
+    * keeping the lowest doc_ids — the engine-neutral version of
+    * sampleBy (seeded Bernoulli is partition-order sensitive). The
+    * rn <= k filter compiles to WindowGroupLimit: each partition keeps
+    * its local top-k before the shuffle, so the window never sorts a
+    * whole stratum. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+      .where(col("rn") <= 50)
+      .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rn"))
+      .orderBy("lang", "doc_id")
+
+  /** Reproducible ~10% sample: multiplicative hash of the KEY decides
+    * membership — re-running, re-partitioning, or re-ordering the input
+    * never changes the sample (unlike rand(seed), which is
+    * partition-order sensitive), and train/eval pipelines can re-derive
+    * the same split from the key alone. Pure projection + filter: no
+    * shuffle, pushdown-friendly. */
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+        lit(1000000007L)) % 100 < 10)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_feature_onehot" -> mlFeatureOnehot,
+    "q_sample_stratified" -> sampleStratified,
+    "q_sample_hash" -> sampleHash,
     "q_dedup_cluster" -> dedupCluster,
     "q_join_bloom_prefilter" -> joinBloomPrefilter,
     "q_agg_sketch_hll_merge" -> aggSketchHllMerge,
     "q_stream_join" -> ((s, d) => streamJoinAttribution(Tables.events(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_ml_feature_onehot" ->
+      """WITH idx AS (
+        |  SELECT c_mktsegment,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_mktsegment ASC) - 1
+        |      AS BIGINT) AS sidx
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_custkey, c_mktsegment, sidx,
+        |  CAST(sidx = 0 AS BIGINT) AS oh_0, CAST(sidx = 1 AS BIGINT) AS oh_1,
+        |  CAST(sidx = 2 AS BIGINT) AS oh_2, CAST(sidx = 3 AS BIGINT) AS oh_3,
+        |  CAST(sidx = 4 AS BIGINT) AS oh_4
+        |FROM customer c JOIN idx USING (c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE (doc_id * 1103515245 + 12345) % 1000000007 % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
         |            FROM (${TextOps.shinglesSql})),

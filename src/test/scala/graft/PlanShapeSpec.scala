@@ -124,4 +124,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joinAt >= 0 && udfAt > joinAt, plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q_sample_stratified keeps per-partition top-k (WindowGroupLimit)") {
+    assert(physical("q_sample_stratified").contains("WindowGroupLimit"))
+  }
 }
