@@ -327,4 +327,78 @@ object Ml {
         expr("CASE WHEN predicted > 0 THEN (1000000 * tp) div predicted " +
           "ELSE 0 END").as("precision_ppm"))
   }
+
+  /** StringIndexer(frequencyDesc) domain table, engine-neutral: index
+    * = rank by (frequency DESC, value ASC) — MLlib's default order with
+    * its alphabetical tie-break, but arithmetic instead of
+    * collect-based. Output: (valueCol, sidx). The window sorts only the
+    * AGGREGATED domain (one row per distinct value) — broadcast it back
+    * onto the fact side; the fact table itself never shuffles. */
+  def stringIndex(df: DataFrame, valueCol: String): DataFrame =
+    df.groupBy(valueCol).agg(count(lit(1)).as("freq"))
+      .withColumn("sidx", (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col(valueCol).asc)) - 1).cast("long"))
+      .select(valueCol, "sidx")
+}
+
+object Sample {
+
+  /** Deterministic stratified cap: at most `k` rows per stratum,
+    * keeping the lowest ids — the engine-neutral sampleBy (seeded
+    * Bernoulli sampling is partition-order sensitive). The rn <= k
+    * filter compiles to WindowGroupLimit: each partition keeps its
+    * local top-k before the shuffle, so no stratum is ever fully
+    * sorted. Output: input columns + rn (1-based within stratum). */
+  def stratifiedCap(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(strataCol)).orderBy(col(idCol))))
+      .where(col("rn") <= k)
+
+  /** Reproducible ~pct% sample by multiplicative hash of an integer
+    * key: membership depends only on the key, so re-runs, re-orderings
+    * and re-partitionings give the SAME sample, and a pipeline can
+    * re-derive the split from the key alone. Pure filter: no shuffle,
+    * and larger pct strictly contains smaller (nested samples). */
+  def byKeyHash(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.where(pmod(col(keyCol) * lit(1103515245L) + lit(12345L),
+      lit(1000000007L)) % 100 < pct)
+}
+
+object Rel {
+
+  /** Bloom-prefiltered exact equi-join: builds a bloom filter over the
+    * dim keys (one aggregation action, like a broadcast build), drops
+    * fact rows that cannot match BEFORE the join shuffle, then runs the
+    * exact join — false positives are erased by the join, so the result
+    * is exact. Spark's runtime row-level filtering made explicit and
+    * scale-tunable. `expectedDimKeys` is an upper bound (from table
+    * stats); fpp holds while actual <= expected. */
+  def bloomPrefilteredJoin(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedDimKeys: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
+    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bfB.value.mightContain(k))
+    fact.where(might(col(factKey)))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+}
+
+object Sketch {
+
+  /** Two-level mergeable-sketch rollup: HLL sketches of `keyCol` at
+    * the `fine` grouping, then re-aggregated to the `coarse` grouping
+    * by sketch UNION — the store-once/roll-up-anywhere pattern that
+    * avoids re-scanning the fact table for every coarser level.
+    * Output: coarse keys + estimate (bigint) + n_groups. */
+  def hllRollup(df: DataFrame, keyCol: String, fine: Seq[String],
+      coarse: Seq[String], lgK: Int = 12): DataFrame =
+    df.groupBy(fine.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($keyCol, $lgK)").as("sk"))
+      .groupBy(coarse.map(col): _*)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("estimate"),
+        count(lit(1)).as("n_groups"))
 }

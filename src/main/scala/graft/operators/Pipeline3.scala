@@ -52,14 +52,8 @@ object Pipeline3 extends graft.QueryModule {
     val cust = Tables.customer(s, dir)
       .where(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
-    // expectedNumItems is an upper bound from table stats, not a count
-    // action; fpp holds as long as actual <= expected. ~1.2 MB at 1M.
-    val bf = cust.stat.bloomFilter("c_custkey", 1L << 20, 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val might = udf((k: Long) => bfB.value.mightContain(k))
-    Tables.orders(s, dir)
-      .where(might(col("o_custkey")))
-      .join(cust, col("o_custkey") === col("c_custkey"))
+    graft.api.Rel.bloomPrefilteredJoin(
+        Tables.orders(s, dir), "o_custkey", cust, "c_custkey")
       .groupBy("c_custkey")
       .agg(count(lit(1)).as("n_orders"),
         sum(Det.dec2("o_totalprice")).cast("double").as("sum_price"))
@@ -77,12 +71,10 @@ object Pipeline3 extends graft.QueryModule {
     val joined = Tables.customer(s, dir)
       .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
       .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
-    joined.groupBy("r_name", "n_name")
-      .agg(expr("hll_sketch_agg(c_custkey, 12)").as("sk"))
-      .groupBy("r_name")
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
-          .as("est_customers"),
-        count(lit(1)).as("n_nations"))
+    graft.api.Sketch.hllRollup(joined, "c_custkey",
+        fine = Seq("r_name", "n_name"), coarse = Seq("r_name"))
+      .select(col("r_name"), col("estimate").as("est_customers"),
+        col("n_groups").as("n_nations"))
       .orderBy("r_name")
   }
 
@@ -117,12 +109,7 @@ object Pipeline3 extends graft.QueryModule {
     * the domain table stays tiny while the fact side never shuffles. */
   def mlFeatureOnehot(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
-    val idx = cust.groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("freq"))
-      .withColumn("sidx",
-        (row_number().over(Window.orderBy(col("freq").desc,
-          col("c_mktsegment").asc)) - 1).cast("long"))
-      .select("c_mktsegment", "sidx")
+    val idx = graft.api.Ml.stringIndex(cust, "c_mktsegment")
     val oh = (0 until 5).map(i =>
       (col("sidx") === i).cast("long").as(s"oh_$i"))
     cust.join(broadcast(idx), "c_mktsegment")
@@ -137,10 +124,8 @@ object Pipeline3 extends graft.QueryModule {
     * its local top-k before the shuffle, so the window never sorts a
     * whole stratum. */
   def sampleStratified(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
-      .where(col("rn") <= 50)
+    graft.api.Sample.stratifiedCap(
+        Tables.documents(s, dir), "lang", "doc_id", 50)
       .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rn"))
       .orderBy("lang", "doc_id")
 
@@ -151,9 +136,7 @@ object Pipeline3 extends graft.QueryModule {
     * the same split from the key alone. Pure projection + filter: no
     * shuffle, pushdown-friendly. */
   def sampleHash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .where(pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
-        lit(1000000007L)) % 100 < 10)
+    graft.api.Sample.byKeyHash(Tables.documents(s, dir), "doc_id", 10)
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id")

@@ -162,4 +162,63 @@ class ApiSpec extends AnyFunSuite {
     assert(cs(1).getLong(1) == 2 && cs(1).getLong(2) == 1 &&
       cs(1).getLong(3) == 2 && cs(1).getLong(5) == 500000L)
   }
+
+  test("Ml.stringIndex: frequencyDesc order with alphabetical tie-break") {
+    val sp = spark
+    import sp.implicits._
+    // freq: b=3, a=2, c=2, d=1 -> b:0, then tie (a,c) alphabetical -> a:1, c:2, d:3
+    val df = Seq("b", "b", "b", "a", "a", "c", "c", "d").toDF("v")
+    val got = api.Ml.stringIndex(df, "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("b" -> 0L, "a" -> 1L, "c" -> 2L, "d" -> 3L))
+  }
+
+  test("Sample.stratifiedCap caps per stratum keeping lowest ids") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1L to 10L).map(i => (i, if (i <= 7) "x" else "y")).toDF("id", "g")
+    val got = api.Sample.stratifiedCap(df, "g", "id", 3)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("x", 1L), ("x", 2L), ("x", 3L),
+      ("y", 8L), ("y", 9L), ("y", 10L)))
+  }
+
+  test("Sample.byKeyHash: reproducible and nested (pct10 subset of pct20)") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val s10a = api.Sample.byKeyHash(df, "id", 10).collect().map(_.getLong(0)).toSet
+    val s10b = api.Sample.byKeyHash(df, "id", 10).collect().map(_.getLong(0)).toSet
+    val s20 = api.Sample.byKeyHash(df, "id", 20).collect().map(_.getLong(0)).toSet
+    assert(s10a == s10b, "must be reproducible")
+    assert(s10a.subsetOf(s20), "samples must nest")
+    assert(s10a.size > 50 && s10a.size < 200, s"rate off: ${s10a.size}/1000")
+  }
+
+  test("Rel.bloomPrefilteredJoin == plain join on synthetic frames") {
+    val sp = spark
+    import sp.implicits._
+    val fact = (0L until 500L).map(i => (i, i % 50)).toDF("row_id", "fk")
+    val dim = Seq(3L, 7L, 11L, 13L).toDF("pk")
+    val got = api.Rel.bloomPrefilteredJoin(fact, "fk", dim, "pk", 100L)
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    val want = fact.join(dim, col("fk") === col("pk"))
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
+  test("Sketch.hllRollup: estimate exact at small cardinality; groups counted") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 300L).map(i => (i, s"n${i % 6}", s"r${i % 2}"))
+      .toDF("key", "fine_k", "coarse_k")
+    val got = api.Sketch.hllRollup(df, "key",
+        fine = Seq("coarse_k", "fine_k"), coarse = Seq("coarse_k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // each coarse group sees 150 distinct keys across 3 fine groups
+    assert(got.keySet == Set("r0", "r1"))
+    got.values.foreach { case (est, n) =>
+      assert(n == 3 && math.abs(est - 150L) <= 5, s"est=$est n=$n")
+    }
+  }
 }
