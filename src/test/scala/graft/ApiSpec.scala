@@ -163,6 +163,13 @@ class ApiSpec extends AnyFunSuite {
       cs(1).getLong(3) == 2 && cs(1).getLong(5) == 500000L)
   }
 
+  test("Dedup.connectedComponents: empty edge list yields empty labels") {
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(api.Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("Ml.stringIndex: frequencyDesc order with alphabetical tie-break") {
     val sp = spark
     import sp.implicits._
