@@ -57,6 +57,28 @@ object Text {
   def polyHash(c: String): Column =
     expr(s"aggregate(sequence(1, length($c)), 0L, " +
       s"(a, i) -> (a * 131 + ascii(substring($c, i, 1))) % 1000000007)")
+
+  /** Sequence packing (training-batch construction): assign each row a
+    * token-budget bin — bin = floor(cumulative tokens BEFORE this row
+    * / budget) within `strataCol`, ordered by `idCol`. A row straddling
+    * a boundary overflows its bin (linear packing with overflow), which
+    * keeps the assignment a pure window expression: deterministic on
+    * any engine, no sequential driver loop. Output: input columns +
+    * bin (bigint).
+    *
+    * 100 TB: the cumsum window is partitioned by stratum; a real
+    * pre-training pipeline packs per shard (stratum = shard id), so no
+    * single partition ever scans more than one shard. */
+  def packBins(df: DataFrame, idCol: String, strataCol: String,
+      nTokensCol: String, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__cum_before",
+        coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum_before div $budget"))
+      .drop("__cum_before")
+  }
 }
 
 object Dedup {

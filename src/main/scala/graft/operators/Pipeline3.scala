@@ -141,7 +141,25 @@ object Pipeline3 extends graft.QueryModule {
         length(col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id")
 
+  /** Sequence packing: documents into 256-token bins per lang (linear
+    * packing with overflow — graft.api.Text.packBins), then per-bin
+    * stats. The training-batch construction step of a pre-training
+    * pipeline, as a pure windowed plan. */
+  def textPack(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(filter(split(lower(col("text")), " "),
+          t => t =!= "")).cast("long").as("n_tokens"))
+    graft.api.Text.packBins(toks, "doc_id", "lang", "n_tokens", 256)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang", "bin")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_pack" -> textPack,
     "q_ml_feature_onehot" -> mlFeatureOnehot,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_hash" -> sampleHash,
@@ -151,6 +169,19 @@ object Pipeline3 extends graft.QueryModule {
     "q_stream_join" -> ((s, d) => streamJoinAttribution(Tables.events(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT lang, CAST(cum_before // 256 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens, MIN(doc_id) AS first_doc
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "q_ml_feature_onehot" ->
       """WITH idx AS (
         |  SELECT c_mktsegment,

@@ -163,6 +163,18 @@ class ApiSpec extends AnyFunSuite {
       cs(1).getLong(3) == 2 && cs(1).getLong(5) == 500000L)
   }
 
+  test("Text.packBins: linear packing with overflow, per-stratum") {
+    val sp = spark
+    import sp.implicits._
+    // budget 10: cum_before 0,7,14,16 -> bins 0,0,1,1; second stratum resets
+    val df = Seq((1L, "a", 7L), (2L, "a", 7L), (3L, "a", 2L), (4L, "a", 9L),
+      (5L, "b", 25L), (6L, "b", 1L)).toDF("id", "g", "n")
+    val got = api.Text.packBins(df, "id", "g", "n", 10)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 0L, 6L -> 2L), s"bins=$got")
+  }
+
   test("Dedup.connectedComponents: empty edge list yields empty labels") {
     val sp = spark
     import sp.implicits._
