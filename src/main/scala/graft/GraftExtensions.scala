@@ -21,5 +21,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.ArrayDot].getName, "graft_dot"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         functions.ArrayDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_agg"),
+      new ExpressionInfo(classOf[functions.ThetaSketchAgg].getName,
+        "graft_theta_agg"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.ThetaSketchAgg(args.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_intersect_est"),
+      new ExpressionInfo(classOf[functions.ThetaIntersectEstimate].getName,
+        "graft_theta_intersect_est"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.ThetaIntersectEstimate(args(0), args(1))))
   }
 }

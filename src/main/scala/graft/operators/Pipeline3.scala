@@ -158,7 +158,37 @@ object Pipeline3 extends graft.QueryModule {
       .orderBy("lang", "bin")
   }
 
+  /** Theta-sketch set intersection (native TypedImperativeAggregate,
+    * functions.ThetaSketchAgg): distinct users who BOTH clicked AND
+    * purchased per day, from per-day sketches — no fact-table
+    * self-join. Exact distinct counts per side ride along (one pass).
+    * Below ~4k distinct users/day the sketch is in exact mode, so
+    * est_both is exactly the true intersection at test SFs — SketchSpec
+    * pins est == exact-join count. NO oracle (sketch binary is
+    * engine-specific). */
+  def aggThetaIntersect(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchExprs.ensureRegistered(s)
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .agg(
+        expr("graft_theta_agg(CASE WHEN event_type = 'click' THEN user_id END)")
+          .as("sk_c"),
+        expr("graft_theta_agg(CASE WHEN event_type = 'purchase' THEN user_id END)")
+          .as("sk_p"),
+        countDistinct(when(col("event_type") === "click", col("user_id")))
+          .as("n_click"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id")))
+          .as("n_purchase"))
+      .select(col("day"),
+        round(expr("graft_theta_intersect_est(sk_c, sk_p)"))
+          .cast("long").as("est_both"),
+        col("n_click"), col("n_purchase"))
+      .orderBy("day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_theta_intersect" -> aggThetaIntersect,
     "q_text_pack" -> textPack,
     "q_ml_feature_onehot" -> mlFeatureOnehot,
     "q_sample_stratified" -> sampleStratified,

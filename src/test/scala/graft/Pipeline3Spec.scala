@@ -48,6 +48,27 @@ class Pipeline3Spec extends AnyFunSuite {
     assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
   }
 
+  test("theta intersection == exact click∩purchase users per day (exact mode)") {
+    val got = operators.Pipeline3.aggThetaIntersect(spark, dir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+    val c = ev.where(col("event_type") === "click")
+      .select("day", "user_id").distinct()
+    val p = ev.where(col("event_type") === "purchase")
+      .select("day", "user_id").distinct()
+    val exact = c.join(p, Seq("day", "user_id"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // days with zero intersection appear in `got` with est 0 but not in
+    // `exact` — compare on the union of keys with default 0
+    val days = got.keySet ++ exact.keySet
+    days.foreach { d =>
+      assert(got.getOrElse(d, 0L) == exact.getOrElse(d, 0L),
+        s"day $d: est=${got.get(d)} exact=${exact.get(d)}")
+    }
+  }
+
   test("hll sketch-merge estimate within 5% of exact per region") {
     val est = operators.Pipeline3.aggSketchHllMerge(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
