@@ -89,9 +89,16 @@ object Windows extends graft.QueryModule {
     * rank orders on the EXACT decimal revenue; only the projected
     * column is cast to double (output-type rule, see Aggregates). */
   def topkGroup(s: SparkSession, dir: String): DataFrame = {
+    // Explicit repartition between agg and window: with
+    // parallelismFirst=false AQE coalesced the ~500k-row window input
+    // to ONE task (advisory-size trap on compact decimal rows) and the
+    // per-supplier sort serialized. A user-specified numPartitions is
+    // never coalesced, so the window runs at full parallelism while the
+    // aggregation keeps its two-phase map-side combine.
     val rev = Tables.lineitem(s, dir)
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum(revenue).as("rev_dec"))
+      .repartition(s.sparkContext.defaultParallelism, col("l_suppkey"))
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("rev_dec").desc, col("l_partkey").asc)
     rev.withColumn("rn", row_number().over(w))
