@@ -33,5 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_theta_intersect_est"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         functions.ThetaIntersectEstimate(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_diff_est"),
+      new ExpressionInfo(classOf[functions.ThetaDiffEstimate].getName,
+        "graft_theta_diff_est"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.ThetaDiffEstimate(args(0), args(1))))
   }
 }

@@ -101,6 +101,34 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Difference-cardinality estimate (A and not B) of two theta sketch
+  * binaries — "did A but never B" (e.g. clicked, never purchased).
+  * Same per-group, non-hot-path reasoning as the intersection. */
+case class ThetaDiffEstimate(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_theta_diff_est expects (binary, binary), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_theta_diff_est"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val op = SetOperation.builder().buildANotB()
+    op.aNotB(
+      Sketches.wrapSketch(Memory.wrap(a.asInstanceOf[Array[Byte]])),
+      Sketches.wrapSketch(Memory.wrap(b.asInstanceOf[Array[Byte]]))
+    ).getEstimate
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchExprs {
   /** Idempotent per-session registration (same rationale as
     * VectorExprs.ensureRegistered: sessions are handed in). */
@@ -111,5 +139,8 @@ object SketchExprs {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_intersect_est",
       args => ThetaIntersectEstimate(args(0), args(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_diff_est",
+      args => ThetaDiffEstimate(args(0), args(1)), "built-in")
   }
 }

@@ -183,6 +183,8 @@ object Pipeline3 extends graft.QueryModule {
       .select(col("day"),
         round(expr("graft_theta_intersect_est(sk_c, sk_p)"))
           .cast("long").as("est_both"),
+        round(expr("graft_theta_diff_est(sk_c, sk_p)"))
+          .cast("long").as("est_click_only"),
         col("n_click"), col("n_purchase"))
       .orderBy("day")
   }

@@ -49,8 +49,14 @@ class Pipeline3Spec extends AnyFunSuite {
   }
 
   test("theta intersection == exact click∩purchase users per day (exact mode)") {
-    val got = operators.Pipeline3.aggThetaIntersect(spark, dir)
-      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val rows = operators.Pipeline3.aggThetaIntersect(spark, dir).collect()
+    val got = rows.map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // A-not-B in exact mode: clicked-only = distinct clickers - both
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) - r.getLong(1),
+        s"day ${r.getDate(0)}: click_only=${r.getLong(2)} " +
+          s"n_click=${r.getLong(3)} both=${r.getLong(1)}")
+    }
     val ev = Tables.events(spark, dir)
       .withColumn("day", to_date(col("ts")))
     val c = ev.where(col("event_type") === "click")
