@@ -189,7 +189,40 @@ object Pipeline3 extends graft.QueryModule {
       .orderBy("day")
   }
 
+  /** Column profiling ("analyze table" before training): per-column
+    * non-null / exact-distinct / min / max over orders, ONE pass — the
+    * wide agg computes every measure (multi-distinct compiles to one
+    * Expand + aggregation, no per-column rescans), stack() unpivots to
+    * a row per column. min/max taken in the native type, cast to string
+    * only for the uniform output schema (decimal column through
+    * DECIMAL(12,2) so both engines render identically). At 100 TB
+    * swap countDistinct for approx_count_distinct per column. */
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def prof(c: String, v: org.apache.spark.sql.Column) = Seq(
+      count(v).as(s"nn_$c"), countDistinct(v).as(s"nd_$c"),
+      min(v).cast("string").as(s"mn_$c"),
+      max(v).cast("string").as(s"mx_$c"))
+    val cols = Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_orderdate" -> col("o_orderdate"),
+      "o_totalprice" -> Det.dec2("o_totalprice"),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val measures = count(lit(1)).as("n_rows") +:
+      cols.flatMap { case (n, v) => prof(n, v) }
+    val stackArgs = cols.map { case (n, _) =>
+      s"'$n', nn_$n, nd_$n, mn_$n, mx_$n" }.mkString(", ")
+    o.agg(measures.head, measures.tail: _*)
+      .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nonnull, n_distinct, min_val, max_val)"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy("col_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_columns" -> profileColumns,
     "q_agg_theta_intersect" -> aggThetaIntersect,
     "q_text_pack" -> textPack,
     "q_ml_feature_onehot" -> mlFeatureOnehot,
@@ -201,6 +234,18 @@ object Pipeline3 extends graft.QueryModule {
     "q_stream_join" -> ((s, d) => streamJoinAttribution(Tables.events(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_profile_columns" -> Seq(
+        ("o_orderkey", "o_orderkey"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_orderdate", "o_orderdate"),
+        ("o_totalprice", "CAST(o_totalprice AS DECIMAL(12,2))"),
+        ("o_orderpriority", "o_orderpriority"))
+      .map { case (n, e) =>
+        s"""SELECT '$n' AS col_name, COUNT(*) AS n_rows,
+          |  COUNT($e) AS n_nonnull, COUNT(DISTINCT $e) AS n_distinct,
+          |  CAST(MIN($e) AS VARCHAR) AS min_val,
+          |  CAST(MAX($e) AS VARCHAR) AS max_val FROM orders""".stripMargin }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "q_text_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
