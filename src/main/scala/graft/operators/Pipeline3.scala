@@ -221,7 +221,31 @@ object Pipeline3 extends graft.QueryModule {
       .orderBy("col_name")
   }
 
+  /** Multimodal frame sampling: the payload treated as fixed-size
+    * 32-byte frames, every 4th frame sampled and featurized (ascii
+    * byte-sum — the decoder stub; a real video pipeline decodes the
+    * frame bytes at exactly this point), then per-doc stats. One
+    * generate per doc, feature computed where the frame lives — the
+    * same plumbing shape (explode → per-frame map → agg) a real
+    * frame-sampler uses at 100 TB. */
+  def multimodalFrameSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        (ceil(length(col("text")) / lit(32.0))).cast("long").as("n_frames"))
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        explode(expr("sequence(0, cast(n_frames - 1 AS INT), 4)")).as("frame_no"))
+      .withColumn("frame", expr("substring(text, frame_no * 32 + 1, 32)"))
+      .withColumn("frame_feat", expr(
+        "aggregate(sequence(1, length(frame)), 0L, " +
+          "(a, i) -> a + ascii(substring(frame, i, 1)))"))
+      .groupBy("doc_id")
+      .agg(max(col("n_frames")).as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        sum(col("frame_feat")).as("feat_sum"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_framesample" -> multimodalFrameSample,
     "q_profile_columns" -> profileColumns,
     "q_agg_theta_intersect" -> aggThetaIntersect,
     "q_text_pack" -> textPack,
@@ -234,6 +258,25 @@ object Pipeline3 extends graft.QueryModule {
     "q_stream_join" -> ((s, d) => streamJoinAttribution(Tables.events(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_multimodal_framesample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(ceil(length(text) / 32.0) AS BIGINT) AS n_frames
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, n_frames,
+        |    substring(text, CAST(fn * 32 + 1 AS BIGINT), 32) AS frame
+        |  FROM (SELECT doc_id, n_frames, text,
+        |          unnest(range(0, n_frames, 4)) AS fn
+        |        FROM f)),
+        |feat AS (
+        |  SELECT doc_id, n_frames,
+        |    list_sum(list_transform(range(1, length(frame) + 1),
+        |      j -> ascii(substring(frame, j, 1)))) AS frame_feat
+        |  FROM e)
+        |SELECT doc_id, MAX(n_frames) AS n_frames, COUNT(*) AS n_sampled,
+        |  CAST(SUM(frame_feat) AS BIGINT) AS feat_sum
+        |FROM feat GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_profile_columns" -> Seq(
         ("o_orderkey", "o_orderkey"),
         ("o_orderstatus", "o_orderstatus"),
