@@ -209,7 +209,7 @@ object Dedup {
     // labels only ever shrink, so sum(label) strictly decreases iff any
     // node changed — one scalar agg per round, no join-diff.
     def tot(df: DataFrame): BigDecimal = {
-      val r = df.agg(sum(col("label")).cast("decimal(38,0)")).head
+      val r = df.agg(sum(col("label")).cast("decimal(38,0)")).head()
       if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
     }
     var prev = tot(labels)

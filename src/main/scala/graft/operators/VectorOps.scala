@@ -308,7 +308,7 @@ object VectorOps extends graft.QueryModule {
           val scored = model.transform(labeled.where(col("fold") === f))
           val agg = scored.agg(
             sum(when(col("t") === col("prediction"), 1L).otherwise(0L)),
-            count(lit(1))).head
+            count(lit(1))).head()
           (agg.getLong(0), agg.getLong(1))
         }
         val (correct, total) = perFold.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
