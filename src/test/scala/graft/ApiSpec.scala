@@ -175,6 +175,33 @@ class ApiSpec extends AnyFunSuite {
       5L -> 0L, 6L -> 2L), s"bins=$got")
   }
 
+  test("connectedComponents == union-find ground truth on random graphs") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 20 + rnd.nextInt(10)
+      val edges = Seq.fill(25)(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find with union-by-min-root: the root of every set stays
+      // the set's minimum member, so find(v) IS the expected label
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = api.Dedup.connectedComponents(edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: got=$got want=$want")
+    }
+  }
+
   test("Dedup.connectedComponents: empty edge list yields empty labels") {
     val sp = spark
     import sp.implicits._
