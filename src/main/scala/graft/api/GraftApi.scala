@@ -69,6 +69,47 @@ object Text {
     * 100 TB: the cumsum window is partitioned by stratum; a real
     * pre-training pipeline packs per shard (stratum = shard id), so no
     * single partition ever scans more than one shard. */
+  /** Language ID by lexicon-hit voting: join the token table to a
+    * (lang, token) lexicon, count hits per (id, lang), argmax with a
+    * deterministic (hits DESC, lang ASC) tie-break. Ids with zero
+    * lexicon hits are absent — left-join + fill "und" at the caller.
+    * (The graded q_text_langid keeps its original fixed-priority
+    * tie-break; this parametric form takes any lexicon.) */
+  def langId(tokens: DataFrame, idCol: String, tokenCol: String,
+      lexicon: DataFrame): DataFrame = {
+    val hits = tokens.join(broadcast(lexicon),
+        tokens(tokenCol) === lexicon("token"))
+      .groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("hits").desc, col("lang").asc)
+    hits.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col(idCol), col("lang").as("pred"), col("hits"))
+  }
+
+  /** Quality scoring over a token table: stopword ratio (top
+    * `topStopwords` corpus tokens), uniqueness ratio, and a composite
+    * quality score — all as EXACT parts-per-million integers (integer
+    * division; rounding computed double ratios hits exact-half
+    * boundaries where engines disagree). One corpus pass derives the
+    * stopword list; per-id measures are plain hash aggs. */
+  def qualityScore(tokens: DataFrame, idCol: String, tokenCol: String,
+      topStopwords: Int = 10): DataFrame = {
+    val stop = tokens.groupBy(tokenCol).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col(tokenCol).asc).limit(topStopwords)
+      .select(tokenCol)
+    val perDoc = tokens.groupBy(idCol).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col(tokenCol)).as("n_distinct"))
+    val stopHits = tokens.join(broadcast(stop), tokenCol)
+      .groupBy(idCol).agg(count(lit(1)).as("stop_hits"))
+    perDoc.join(stopHits, Seq(idCol), "left").na.fill(0L)
+      .select(col(idCol), col("n_tokens"),
+        expr("(1000000 * stop_hits) div n_tokens").as("stop_ppm"),
+        expr("(1000000 * n_distinct) div n_tokens").as("uniq_ppm"),
+        expr("(1000000 * least(n_tokens, 100) * (n_tokens - stop_hits) * n_distinct) " +
+          "div (100 * n_tokens * n_tokens)").as("quality_ppm"))
+  }
+
   def packBins(df: DataFrame, idCol: String, strataCol: String,
       nTokensCol: String, budget: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

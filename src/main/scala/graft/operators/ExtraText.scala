@@ -53,27 +53,13 @@ object ExtraText extends graft.QueryModule {
 
   /** Heuristic quality score: length cap x non-stopword mass x lexical
     * diversity — the filters an LLM-corpus pipeline runs per document. */
-  def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val t = TextOps.tokens(s, dir)
-    val stop = t.groupBy("token").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("token").asc).limit(10).select("token")
-    val perDoc = t.groupBy("doc_id").agg(
-      count(lit(1)).as("n_tokens"),
-      countDistinct(col("token")).as("n_distinct"))
-    val stopHits = t.join(broadcast(stop), "token")
-      .groupBy("doc_id").agg(count(lit(1)).as("stop_hits"))
+  def textQuality(s: SparkSession, dir: String): DataFrame =
     // ratios as EXACT parts-per-million via integer division (operands
     // positive, so Spark `div` == DuckDB `//`): rounding a computed
     // double ratio hits exact-half boundaries where the engines round
     // differently — quality diverged by 1 ulp at sf0.1 (§2.0.2).
-    perDoc.join(stopHits, Seq("doc_id"), "left").na.fill(0L)
-      .select(col("doc_id"), col("n_tokens"),
-        expr("(1000000 * stop_hits) div n_tokens").as("stop_ppm"),
-        expr("(1000000 * n_distinct) div n_tokens").as("uniq_ppm"),
-        expr("(1000000 * least(n_tokens, 100) * (n_tokens - stop_hits) * n_distinct) " +
-          "div (100 * n_tokens * n_tokens)").as("quality_ppm"))
+    graft.api.Text.qualityScore(TextOps.tokens(s, dir), "doc_id", "token", 10)
       .orderBy("doc_id")
-  }
 
   /** Token counting three ways: whitespace split, BPE-ish regex pieces,
     * and a ceil(len/4) subword estimate. */

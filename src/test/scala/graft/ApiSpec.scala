@@ -163,6 +163,35 @@ class ApiSpec extends AnyFunSuite {
       cs(1).getLong(3) == 2 && cs(1).getLong(5) == 500000L)
   }
 
+  test("Text.langId: lexicon voting with (hits DESC, lang ASC) tie-break") {
+    val sp = spark
+    import sp.implicits._
+    val lex = Seq(("en", "the"), ("en", "and"), ("es", "el"), ("es", "la"))
+      .toDF("lang", "token")
+    val toks = Seq((1L, "the"), (1L, "and"), (1L, "el"),
+      (2L, "el"), (2L, "la"),
+      (3L, "the"), (3L, "el"), // tie en/es -> en (alphabetical)
+      (4L, "zzz")).toDF("id", "tok")
+    val got = api.Text.langId(toks, "id", "tok", lex)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "en"), s"got=$got")
+  }
+
+  test("Text.qualityScore: closed-form ppm ratios") {
+    val sp = spark
+    import sp.implicits._
+    // freq: x=3, y=1, z=1 -> top-1 stopword = x
+    val toks = Seq((1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "z")).toDF("id", "tok")
+    val got = api.Text.qualityScore(toks, "id", "tok", topStopwords = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc1: n=3 distinct=2 stop=2 -> 666666, 666666, (1e6*3*1*2)/900=6666
+    // doc2: n=2 distinct=2 stop=1 -> 500000, 1000000, (1e6*2*1*2)/400=10000
+    assert(got(1L) == ((3L, 666666L, 666666L, 6666L)), got(1L).toString)
+    assert(got(2L) == ((2L, 500000L, 1000000L, 10000L)), got(2L).toString)
+  }
+
   test("Text.packBins: linear packing with overflow, per-stratum") {
     val sp = spark
     import sp.implicits._
