@@ -178,18 +178,21 @@ object TextOps extends graft.QueryModule {
     * the bench's top CPU burner at sf0.1 (13 CPU-s); this shape also
     * scales: at 100 TB the posting-list cap (a skew guard on stopword
     * shingles) bounds the per-key pair fanout. */
-  def dedupJaccard(s: SparkSession, dir: String): DataFrame =
-    // the shingle table feeds both sizes + posting lists inside
-    // jaccardPairs; deliberately NOT persisted: a lazily-returned query
-    // can't unpersist after its terminal action, and leaked cache
-    // blocks accumulate across the shared session (ADVICE r2).
-    // Recomputing the explode costs two parquet scans of `documents` —
-    // cheap at any SF; a 100 TB pipeline materializes its
-    // tokenized-corpus stage to storage instead of executor memory.
-    graft.api.Dedup.jaccardPairs(shingles(s, dir), "doc_id",
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    // the shingle table feeds both the per-doc sizes and the posting
+    // lists inside jaccardPairs: localCheckpoint (eager) materializes
+    // the explode ONCE and truncates lineage — the same leak-free
+    // pattern connectedComponents uses (stale checkpoint RDDs are
+    // released by ContextCleaner once the frame is dropped). persist()
+    // would leak instead: a lazily-returned query has no post-action
+    // hook to unpersist (ADVICE r2). Halves the query's CPU — the
+    // double explode was the repo's top burner (~13 CPU-s at sf0.1).
+    val sh = shingles(s, dir).localCheckpoint(true)
+    graft.api.Dedup.jaccardPairs(sh, "doc_id",
         threshold = 0.5, maxPosting = 1000)
       .orderBy(col("jaccard").desc, col("d1").asc, col("d2").asc)
       .limit(100)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokenize" -> textTokenize,
