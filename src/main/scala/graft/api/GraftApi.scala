@@ -169,6 +169,23 @@ object Dedup {
       .where(col("matches") >= minMatches)
   }
 
+  /** Incremental dedup — the ingestion-pipeline shape: candidates of a
+    * NEW batch against an EXISTING corpus, by band-joining the batch's
+    * MinHash signatures ([[minhashSignatures]]) against the corpus's
+    * signatures on (perm, minh). At 100 TB the corpus signatures are
+    * computed once and STORED (16 small rows per doc); each incoming
+    * batch only signs its own docs and equi-joins — the corpus text is
+    * never re-shingled, and there is no batch-internal or corpus-
+    * internal pair blowup. Output: (new_id, corpus_id, matches). */
+  def newVsCorpus(newSigs: DataFrame, corpusSigs: DataFrame,
+      idCol: String, minMatches: Int): DataFrame = {
+    val n = newSigs.select(col(idCol).as("new_id"), col("perm"), col("minh"))
+    val c = corpusSigs.select(col(idCol).as("corpus_id"), col("perm"), col("minh"))
+    n.join(c, Seq("perm", "minh"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("matches"))
+      .where(col("matches") >= minMatches)
+  }
+
   /** SimHash signatures over a tf-weighted token table
     * (idCol, tokenCol, tfCol): `bits`-bit signature per id, token
     * hashes from the polynomial string hash mapped through a fixed
@@ -440,7 +457,16 @@ object Rel {
     * exact join — false positives are erased by the join, so the result
     * is exact. Spark's runtime row-level filtering made explicit and
     * scale-tunable. `expectedDimKeys` is an upper bound (from table
-    * stats); fpp holds while actual <= expected. */
+    * stats); fpp holds while actual <= expected.
+    *
+    * Pushdown boundary: `mightContain` has no Column form, so the bloom
+    * membership test is a scala UDF — OPAQUE to Catalyst. Predicates on
+    * `fact` that should reach the parquet scan (PushedFilters / row-
+    * group skipping) must be applied to `fact` BEFORE calling this
+    * function; Catalyst does still reorder deterministic filters below
+    * the UDF, but source-level pushdown of a filter composed on the
+    * RESULT is not guaranteed across the join. ApiSpec pins that a
+    * pre-applied fact filter reaches the scan. */
   def bloomPrefilteredJoin(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       expectedDimKeys: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
@@ -458,7 +484,10 @@ object Sketch {
     * the `fine` grouping, then re-aggregated to the `coarse` grouping
     * by sketch UNION — the store-once/roll-up-anywhere pattern that
     * avoids re-scanning the fact table for every coarser level.
-    * Output: coarse keys + estimate (bigint) + n_groups. */
+    * `lgK` is the accuracy/size dial: RSE ~ 1.04/sqrt(2^lgK), so 12 →
+    * ±~1.6% at 4 KB/sketch; raise it at 100 TB cardinalities where the
+    * default's error band matters. Output: coarse keys + estimate
+    * (bigint) + n_groups. */
   def hllRollup(df: DataFrame, keyCol: String, fine: Seq[String],
       coarse: Seq[String], lgK: Int = 12): DataFrame =
     df.groupBy(fine.map(col): _*)
@@ -466,4 +495,47 @@ object Sketch {
       .groupBy(coarse.map(col): _*)
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("estimate"),
         count(lit(1)).as("n_groups"))
+
+  /** Theta-sketch aggregate of a BIGINT column (set-algebra-capable:
+    * see graft.functions.SketchExprs), with the same lgK dial as
+    * [[hllRollup]] — exact below 2^lgK distincts, ±1/sqrt(2^lgK)
+    * beyond. Registers the session function on first use. */
+  def thetaAgg(df: DataFrame, child: String, lgK: Int = 12): Column = {
+    graft.functions.SketchExprs.ensureRegistered(df.sparkSession)
+    expr(s"graft_theta_agg($child, $lgK)")
+  }
+}
+
+object Profile {
+
+  /** Column profiling ("analyze table" before training): per-column
+    * non-null / distinct / min / max in ONE pass — a single wide agg
+    * (multi-distinct compiles to one Expand + aggregation, no
+    * per-column rescans), stack() unpivoted to a row per column.
+    * min/max are taken in each column's native type and cast to string
+    * only for the uniform output schema.
+    *
+    * `approx` is the 100 TB dial: false = exact countDistinct (the
+    * oracle-verifiable default; the Expand multiplies rows by the
+    * number of distinct-measures); true = approx_count_distinct per
+    * column at relative error `rsd` — a mergeable HLL± partial agg
+    * with NO Expand, so the pass stays one narrow scan regardless of
+    * how many columns are profiled. */
+  def columns(df: DataFrame, cols: Seq[(String, Column)],
+      approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
+    def nd(v: Column) =
+      if (approx) approx_count_distinct(v, rsd) else countDistinct(v)
+    val measures = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, v) =>
+      Seq(count(v).as(s"nn_$n"), nd(v).as(s"nd_$n"),
+        min(v).cast("string").as(s"mn_$n"),
+        max(v).cast("string").as(s"mx_$n"))
+    }
+    val stackArgs = cols.map { case (n, _) =>
+      s"'$n', nn_$n, nd_$n, mn_$n, mx_$n" }.mkString(", ")
+    df.agg(measures.head, measures.tail: _*)
+      .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nonnull, n_distinct, min_val, max_val)"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
 }

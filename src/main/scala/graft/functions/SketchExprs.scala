@@ -131,11 +131,18 @@ case class ThetaDiffEstimate(left: Expression, right: Expression)
 
 object SketchExprs {
   /** Idempotent per-session registration (same rationale as
-    * VectorExprs.ensureRegistered: sessions are handed in). */
+    * VectorExprs.ensureRegistered: sessions are handed in).
+    * graft_theta_agg takes an optional second literal arg: lgK
+    * (default 12) — the accuracy/size dial, surfaced through
+    * graft.api.Sketch.thetaAgg (VERDICT r4 task 5). */
   def ensureRegistered(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_agg",
-      args => ThetaSketchAgg(args.head).toAggregateExpression(), "built-in")
+      args => {
+        val lgK =
+          if (args.size > 1) args(1).eval().toString.toInt else 12
+        ThetaSketchAgg(args.head, lgK).toAggregateExpression()
+      }, "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_intersect_est",
       args => ThetaIntersectEstimate(args(0), args(1)), "built-in")

@@ -189,37 +189,22 @@ object Pipeline3 extends graft.QueryModule {
       .orderBy("day")
   }
 
-  /** Column profiling ("analyze table" before training): per-column
-    * non-null / exact-distinct / min / max over orders, ONE pass — the
-    * wide agg computes every measure (multi-distinct compiles to one
-    * Expand + aggregation, no per-column rescans), stack() unpivots to
-    * a row per column. min/max taken in the native type, cast to string
-    * only for the uniform output schema (decimal column through
-    * DECIMAL(12,2) so both engines render identically). At 100 TB
-    * swap countDistinct for approx_count_distinct per column. */
-  def profileColumns(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    def prof(c: String, v: org.apache.spark.sql.Column) = Seq(
-      count(v).as(s"nn_$c"), countDistinct(v).as(s"nd_$c"),
-      min(v).cast("string").as(s"mn_$c"),
-      max(v).cast("string").as(s"mx_$c"))
-    val cols = Seq(
-      "o_orderkey" -> col("o_orderkey"),
-      "o_orderstatus" -> col("o_orderstatus"),
-      "o_orderdate" -> col("o_orderdate"),
-      "o_totalprice" -> Det.dec2("o_totalprice"),
-      "o_orderpriority" -> col("o_orderpriority"))
-    val measures = count(lit(1)).as("n_rows") +:
-      cols.flatMap { case (n, v) => prof(n, v) }
-    val stackArgs = cols.map { case (n, _) =>
-      s"'$n', nn_$n, nd_$n, mn_$n, mx_$n" }.mkString(", ")
-    o.agg(measures.head, measures.tail: _*)
-      .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(col_name, n_nonnull, n_distinct, min_val, max_val)"))
-      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
-        col("n_distinct"), col("min_val"), col("max_val"))
+  /** Column profiling ("analyze table" before training) over orders —
+    * fixture binding of graft.api.Profile.columns with approx=false
+    * (exact countDistinct, oracle-verifiable; decimal column through
+    * DECIMAL(12,2) so both engines render identically). The 100 TB
+    * swap is now a PARAMETER, not a rewrite: approx=true profiles via
+    * approx_count_distinct with no Expand — ApiSpec bounds it within
+    * rsd of exact. */
+  def profileColumns(s: SparkSession, dir: String): DataFrame =
+    graft.api.Profile.columns(Tables.orders(s, dir), Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_orderdate" -> col("o_orderdate"),
+        "o_totalprice" -> Det.dec2("o_totalprice"),
+        "o_orderpriority" -> col("o_orderpriority")),
+      approx = false)
       .orderBy("col_name")
-  }
 
   /** Multimodal frame sampling: the payload treated as fixed-size
     * 32-byte frames, every 4th frame sampled and featurized (ascii

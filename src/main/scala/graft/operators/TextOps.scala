@@ -194,7 +194,31 @@ object TextOps extends graft.QueryModule {
       .limit(100)
   }
 
+  /** Incremental dedup (graft.api.Dedup.newVsCorpus): the "new batch"
+    * (fixture binding: doc_id ≡ 0 mod 5, ~20% of the corpus) checked
+    * against the existing corpus (the rest) — the ingestion-pipeline
+    * shape, where corpus signatures are precomputed/stored and each
+    * incoming batch band-joins against them without re-shingling the
+    * corpus or generating any within-side pairs. Same engine-neutral
+    * arithmetic hashing as q_dedup_minhash, so the oracle twin is pure
+    * SQL. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def sigs(side: DataFrame) = graft.api.Dedup.minhashSignatures(
+      graft.api.Text.shingles(side, "doc_id", "text", 3), "doc_id",
+      TextOps.permTable)
+    val newBatch = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    graft.api.Dedup.newVsCorpus(sigs(newBatch), sigs(corpus), "doc_id",
+        minMatches = 8)
+      .select(col("new_id"), col("corpus_id"), col("matches"),
+        round(col("matches") / lit(16.0), 4).as("agreement"))
+      .orderBy(col("matches").desc, col("new_id").asc, col("corpus_id").asc)
+      .limit(100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> dedupIncremental,
     "q_text_tokenize" -> textTokenize,
     "q_text_stopwords" -> textStopwords,
     "q_text_ngram" -> textNgram,
@@ -282,6 +306,19 @@ object TextOps extends graft.QueryModule {
         |  ON s1.perm = s2.perm AND s1.minh = s2.minh AND s1.doc_id < s2.doc_id
         |GROUP BY d1, d2 HAVING COUNT(*) >= 8
         |ORDER BY matches DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH sh AS (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
+        |            FROM ($shinglesSql)),
+        |perms(perm, a, b) AS (VALUES ${TextOps.permValuesSql}),
+        |sig AS (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
+        |        FROM sh CROSS JOIN perms
+        |        GROUP BY doc_id, perm)
+        |SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+        |  COUNT(*) AS matches, ROUND(COUNT(*) / 16.0, 4) AS agreement
+        |FROM sig n JOIN sig c ON n.perm = c.perm AND n.minh = c.minh
+        |WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+        |GROUP BY new_id, corpus_id HAVING COUNT(*) >= 8
+        |ORDER BY matches DESC, new_id ASC, corpus_id ASC LIMIT 100""".stripMargin,
     "q_dedup_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),

@@ -270,6 +270,72 @@ class ApiSpec extends AnyFunSuite {
     assert(s10a.size > 50 && s10a.size < 200, s"rate off: ${s10a.size}/1000")
   }
 
+  test("Dedup.newVsCorpus: planted dup found, no within-side pairs, direction kept") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely unrelated corpus document about spark plans"),
+      (3L, "the quick brown fox jumps over the lazy cat")) // near dup of 1
+      .toDF("id", "body")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 1
+      (102L, "fresh new content that matches nothing at all"))
+      .toDF("id", "body")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      api.Dedup.minhashSignatures(
+        api.Text.shingles(df, "id", "body", 3), "id",
+        operators.TextOps.permTable)
+    val got = api.Dedup.newVsCorpus(sigs(batch), sigs(corpus), "id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((101L, 1L)) == 16L,
+      "identical new doc must agree with its corpus twin on all 16 slots")
+    assert(!got.keySet.exists(_._1 == 102L),
+      "novel doc must produce no candidates")
+    // corpus docs 1 and 3 are near dups of EACH OTHER but must not
+    // appear: newVsCorpus generates no within-corpus pairs
+    assert(got.keySet.forall { case (n, c) => n >= 101L && c <= 3L },
+      s"within-side or flipped pair leaked: ${got.keySet}")
+  }
+
+  test("Profile.columns: exact matches brute force; approx within rsd") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 20000L).map(i => (i, i % 1357, s"s${i % 11}"))
+      .toDF("pk", "mid", "cat")
+    val cols = Seq("pk" -> col("pk"), "mid" -> col("mid"), "cat" -> col("cat"))
+    val exact = api.Profile.columns(df, cols, approx = false)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(exact("pk") == ((20000L, 20000L, 20000L)))
+    assert(exact("mid")._3 == 1357L && exact("cat")._3 == 11L)
+    val approx = api.Profile.columns(df, cols, approx = true, rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    exact.foreach { case (c, (_, _, nd)) =>
+      assert(math.abs(approx(c) - nd) <= math.max(2L, (0.05 * nd).toLong),
+        s"col $c: approx=${approx(c)} exact=$nd")
+    }
+    // min/max identical in both modes (same native-type min/max)
+    val mm = api.Profile.columns(df, cols, approx = true)
+      .collect().map(r => r.getString(0) -> (r.getString(4), r.getString(5))).toMap
+    assert(mm("pk") == (("0", "19999")))
+  }
+
+  test("Rel.bloomPrefilteredJoin: pre-applied fact filter still reaches the scan") {
+    // the bloom membership UDF is opaque to Catalyst; the documented
+    // contract is that pushable predicates applied to `fact` BEFORE the
+    // call reach the parquet source. Pin it: PushedFilters on the orders
+    // scan must carry the o_totalprice predicate.
+    val fact = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .where(col("o_totalprice") > 150000.0)
+    val dim = spark.read.parquet(s"${TestSpark.sf0001}/customer.parquet")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val plan = api.Rel.bloomPrefilteredJoin(fact, "o_custkey", dim, "c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"fact filter not pushed in:\n$plan")
+  }
+
   test("Rel.bloomPrefilteredJoin == plain join on synthetic frames") {
     val sp = spark
     import sp.implicits._

@@ -75,6 +75,41 @@ class Pipeline3Spec extends AnyFunSuite {
     }
   }
 
+  test("theta sketch ESTIMATION regime: ±5% at 20k/15k distincts, lgK dial works") {
+    // Pipeline3Spec's fixture test covers only the exact mode (<4k
+    // distincts/group, where est == truth). Push the sketch past
+    // 2^lgK=4096 retained entries: A = [0, 20000), B = [10000, 25000)
+    // -> |A∩B| = 10000, |A\B| = 10000, both far beyond exact mode.
+    val sp = spark
+    import sp.implicits._
+    functions.SketchExprs.ensureRegistered(sp)
+    val df = ((0L until 20000L).map(u => (u, "a")) ++
+      (10000L until 25000L).map(u => (u, "b"))).toDF("u", "side")
+    val r = df.agg(
+        expr("graft_theta_agg(CASE WHEN side = 'a' THEN u END)").as("sa"),
+        expr("graft_theta_agg(CASE WHEN side = 'b' THEN u END)").as("sb"))
+      .select(expr("graft_theta_intersect_est(sa, sb)").as("both"),
+        expr("graft_theta_diff_est(sa, sb)").as("a_only")).head()
+    // theta RSE at lgK=12 is ~1/sqrt(4096) = 1.6%; intersection error
+    // grows with |A∪B|/|A∩B| = 2.5 -> ~2.5% RSE. ±5% is ~2 sigma, and
+    // the estimate is deterministic (fixed DataSketches seed).
+    assert(math.abs(r.getDouble(0) - 10000.0) <= 500.0, s"both=${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 10000.0) <= 500.0, s"a_only=${r.getDouble(1)}")
+    // the lgK dial (VERDICT r4 task 5): each setting within its own
+    // 3-sigma band — RSE = 1/sqrt(2^lgK), so 12 -> 1.56% (3s = 1171 on
+    // 25k) and 14 -> 0.78% (3s = 586). A single draw need not be
+    // monotone in lgK (error is a random variable; lgK tightens its
+    // DISTRIBUTION), so the dial is pinned by the tighter bound that
+    // only a real lgK=14 sketch could reliably meet.
+    def unionEst(lgK: Int): Double = df
+      .agg(expr(s"graft_theta_agg(u, $lgK)").as("s"))
+      .select(expr("graft_theta_intersect_est(s, s)").as("self"))
+      .head().getDouble(0)
+    val e12 = unionEst(12); val e14 = unionEst(14)
+    assert(math.abs(e12 - 25000.0) <= 1171.0, s"lgK=12 union=$e12")
+    assert(math.abs(e14 - 25000.0) <= 586.0, s"lgK=14 union=$e14")
+  }
+
   test("hll sketch-merge estimate within 5% of exact per region") {
     val est = operators.Pipeline3.aggSketchHllMerge(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
