@@ -123,6 +123,11 @@ object ExtraText extends graft.QueryModule {
     * §2.8 3-shingles (31^4 possible grams): only true near-dups share
     * mass, so the shingle equi-join stays tiny even at 100 TB. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (eager): the gram frame feeds THREE consumers
+    // (sizes + both self-join sides) — without it the explode executes
+    // once per branch (measured ~11 CPU-s at sf0.1, vs ~4 with one
+    // materialized pass). Same leak-free pattern as dedupJaccard /
+    // connectedComponents; ContextCleaner frees the checkpoint RDD.
     val g = Tables.documents(s, dir)
       .withColumn("l", split(lower(col("text")), " "))
       .where(size(col("l")) >= 4)
@@ -130,6 +135,7 @@ object ExtraText extends graft.QueryModule {
         "array_distinct(transform(sequence(1, size(l)-3), " +
           "i -> concat(l[i-1], ' ', l[i], ' ', l[i+1], ' ', l[i+2])))"))
         .as("gram"))
+      .localCheckpoint(true)
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // plain equi-join here, NOT the group-then-pair shape used by
     // TextOps.dedupJaccard: 4-grams are ~90% singletons (sparse 31^4

@@ -27,8 +27,12 @@ object Pipeline3 extends graft.QueryModule {
     * agg partitioned by node, rounds = component diameter, tiny for
     * near-dup cliques). No global sort, no driver-side graph. */
   def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (eager): minhashCandidates band-joins sig with
+    // itself — materialize the signature pipeline once per query, not
+    // once per join branch (same pattern as dedupMinhash).
     val sig = Dedup.minhashSignatures(
-      TextOps.shingles(s, dir), "doc_id", TextOps.permTable)
+        TextOps.shingles(s, dir), "doc_id", TextOps.permTable)
+      .localCheckpoint(true)
     val pairs = Dedup.minhashCandidates(sig, "doc_id", minMatches = 8)
       .select("d1", "d2")
     Dedup.connectedComponents(pairs, "d1", "d2")

@@ -159,9 +159,13 @@ object TextOps extends graft.QueryModule {
     // all 16 signature slots come from ONE aggregation pass inside
     // minhashSignatures (a perms cross join would 16x the pre-agg row
     // count: 3M vs 190k rows at sf0.1); candidates from the band
-    // equi-join in minhashCandidates.
+    // equi-join in minhashCandidates. localCheckpoint (eager): the band
+    // join consumes sig TWICE (s1/s2 branches) — materialize the
+    // signature pipeline once instead of re-running explode+agg per
+    // branch (leak-free; ContextCleaner frees the RDD).
     val sig = graft.api.Dedup.minhashSignatures(
-      shingles(s, dir), "doc_id", TextOps.permTable)
+        shingles(s, dir), "doc_id", TextOps.permTable)
+      .localCheckpoint(true)
     graft.api.Dedup.minhashCandidates(sig, "doc_id", minMatches = 8)
       .select(col("d1"), col("d2"), col("matches"),
         round(col("matches") / lit(16.0), 4).as("agreement"))
