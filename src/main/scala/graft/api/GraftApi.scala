@@ -186,6 +186,26 @@ object Dedup {
       .where(col("matches") >= minMatches)
   }
 
+  /** Benchmark decontamination: training rows sharing at least
+    * `minShared` exact n-grams with a probe/benchmark set — the
+    * pre-training hygiene step that removes eval-set leakage. Inputs
+    * are (idCol, gramCol) tables (e.g. Text.shingles with k=8+; long
+    * grams make accidental overlap ~impossible, so any hit is real
+    * contamination). Pure equi-join on the gram + count: the probe
+    * side is small by construction (a benchmark), so Catalyst
+    * broadcasts it and the training corpus streams through one scan —
+    * no pair blowup at any scale. Output:
+    * (train_id, probe_id, shared_grams). */
+  def contamination(trainGrams: DataFrame, probeGrams: DataFrame,
+      idCol: String, gramCol: String = "gram",
+      minShared: Int = 1): DataFrame = {
+    val t = trainGrams.select(col(idCol).as("train_id"), col(gramCol))
+    val p = probeGrams.select(col(idCol).as("probe_id"), col(gramCol))
+    t.join(p, gramCol)
+      .groupBy("train_id", "probe_id").agg(count(lit(1)).as("shared_grams"))
+      .where(col("shared_grams") >= minShared)
+  }
+
   /** SimHash signatures over a tf-weighted token table
     * (idCol, tokenCol, tfCol): `bits`-bit signature per id, token
     * hashes from the polynomial string hash mapped through a fixed

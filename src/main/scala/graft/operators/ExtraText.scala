@@ -157,7 +157,30 @@ object ExtraText extends graft.QueryModule {
       .limit(100)
   }
 
+  /** Benchmark decontamination (graft.api.Dedup.contamination): the
+    * probe/benchmark set (fixture binding: doc_id ≡ 0 mod 7, ~14%)
+    * checked for exact 8-gram leakage into the training split (the
+    * rest). 8 words per gram: accidental overlap between independent
+    * docs is ~impossible, so every hit is a genuine leak — the hygiene
+    * pass a pre-training pipeline runs against its eval suites. The
+    * probe side is tiny, so the gram join is a broadcast; the train
+    * corpus streams through one explode+join scan. */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def grams(side: DataFrame) =
+      graft.api.Text.shingles(side, "doc_id", "text", 8)
+        .withColumnRenamed("shingle", "gram")
+    val probes = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    val train = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    graft.api.Dedup.contamination(grams(train), grams(probes), "doc_id")
+      .select(col("train_id"), col("probe_id"), col("shared_grams"))
+      .orderBy(col("shared_grams").desc, col("train_id").asc,
+        col("probe_id").asc)
+      .limit(100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_decontaminate" -> textDecontaminate,
     "q_text_langid" -> textLangid,
     "q_text_quality" -> textQuality,
     "q_text_tokens_bpe" -> textTokensBpe,
@@ -172,6 +195,21 @@ object ExtraText extends graft.QueryModule {
       |WHERE tokens[s] <> ''""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+        |     l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7]
+        |     for i in range(1, len(l)-6)])) AS gram
+        |  FROM (SELECT doc_id, str_split(lower(text), ' ') AS l FROM documents)
+        |  WHERE len(l) >= 8)
+        |SELECT t.doc_id AS train_id, p.doc_id AS probe_id,
+        |  COUNT(*) AS shared_grams
+        |FROM g t JOIN g p ON t.gram = p.gram
+        |WHERE t.doc_id % 7 <> 0 AND p.doc_id % 7 = 0
+        |GROUP BY train_id, probe_id
+        |ORDER BY shared_grams DESC, train_id ASC, probe_id ASC
+        |LIMIT 100""".stripMargin,
     "q_text_langid" ->
       s"""WITH tok AS ($tokensSql),
         |lex(cand, token) AS (VALUES

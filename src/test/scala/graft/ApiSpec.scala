@@ -298,6 +298,26 @@ class ApiSpec extends AnyFunSuite {
       s"within-side or flipped pair leaked: ${got.keySet}")
   }
 
+  test("Dedup.contamination: planted leak found with exact gram count, clean docs absent") {
+    val sp = spark
+    import sp.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "nothing here resembles any benchmark sentence in the suite at all"))
+      .toDF("id", "body")
+    val probe = Seq(
+      // shares tokens 1..9 with train doc 1 -> two overlapping 8-grams
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      .toDF("id", "body")
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      api.Text.shingles(df, "id", "body", 8).withColumnRenamed("shingle", "gram")
+    val got = api.Dedup.contamination(grams(train), grams(probe), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc1 tokens 1..10, probe tokens 1..9 + lambda: shared 8-grams are
+    // [1..8] and [2..9] -> exactly 2
+    assert(got == Map((1L, 900L) -> 2L), s"got=$got")
+  }
+
   test("Profile.columns: exact matches brute force; approx within rsd") {
     val sp = spark
     import sp.implicits._
