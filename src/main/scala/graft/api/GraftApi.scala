@@ -524,6 +524,30 @@ object Sketch {
     graft.functions.SketchExprs.ensureRegistered(df.sparkSession)
     expr(s"graft_theta_agg($child, $lgK)")
   }
+
+  /** Two-level mergeable-QUANTILE rollup — the percentile twin of
+    * [[hllRollup]], on the native KLL aggregates (functions.KllExprs):
+    * KLL sketches of `valueCol` at the `fine` grouping, re-aggregated
+    * to `coarse` by sketch MERGE, quantile estimates at `ranks`
+    * (columns p50, p90, ... from the rank×100). Store the fine
+    * sketches once; any coarser percentile dashboard is a merge over
+    * sketches, never a re-scan/re-sort of the fact table. `k` dials
+    * normalized rank error (~1.65% at the default 200). Estimates are
+    * rounded to 4dp. Output: coarse keys + p-columns + n_groups. */
+  def kllRollup(df: DataFrame, valueCol: String, fine: Seq[String],
+      coarse: Seq[String], ranks: Seq[Double], k: Int = 200): DataFrame = {
+    graft.functions.KllExprs.ensureRegistered(df.sparkSession)
+    val merged = df.groupBy(fine.map(col): _*)
+      .agg(expr(s"graft_kll_agg($valueCol, $k)").as("sk"))
+      .groupBy(coarse.map(col): _*)
+      .agg(expr("graft_kll_merge_agg(sk)").as("sk"),
+        count(lit(1)).as("n_groups"))
+    val qCols = ranks.map { r =>
+      expr(s"round(graft_kll_quantile(sk, ${r}D), 4)")
+        .as(s"p${math.round(r * 100)}")
+    }
+    merged.select(coarse.map(col) ++ qCols :+ col("n_groups"): _*)
+  }
 }
 
 object Profile {

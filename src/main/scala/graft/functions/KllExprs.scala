@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+/** KLL quantile sketches (DataSketches) as native Catalyst aggregates —
+  * the third leg of the mergeable-sketch family next to HLL (distinct
+  * union) and theta (set algebra): MERGEABLE QUANTILES. Spark's
+  * percentile_approx answers one query over one grouping; a stored KLL
+  * sketch answers any rank at any coarser rollup later, without
+  * re-scanning the fact table — the store-once/roll-up-anywhere
+  * pattern for percentile dashboards over 100 TB.
+  *
+  * 100 TB: `graft_kll_agg` is a TypedImperativeAggregate — partial
+  * sketches build where the rows live and merge map-side as compact
+  * binaries (ObjectHashAggregate); `graft_kll_merge_agg` re-aggregates
+  * stored sketches at any coarser grouping; `graft_kll_quantile` runs
+  * per output group on the tiny final sketch. Normalized rank error at
+  * the default k=200 is ~1.65% (99% confidence) — a k literal raises
+  * accuracy at log-size cost.
+  */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int = 200,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_kll_agg expects DOUBLE, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kll_agg"
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buffer: KllDoublesSketch,
+      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch,
+      other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+    copy(child = newChild)
+}
+
+/** Re-aggregate stored KLL sketch binaries at a coarser grouping by
+  * sketch merge — the rollup side of the store-once pattern (the
+  * quantile twin of hll_union_agg). */
+case class KllMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_kll_merge_agg expects BINARY, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kll_merge_agg"
+
+  // merge buffers always start at the max default k; merging a sketch
+  // built at smaller k downgrades the buffer to that k (standard KLL
+  // semantics: accuracy is min over merged inputs)
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(200)
+
+  override def update(buffer: KllDoublesSketch,
+      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(KllDoublesSketch.heapify(
+        Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch,
+      other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllMergeAgg =
+    copy(child = newChild)
+}
+
+/** Quantile estimate at `rank` (0..1) from a KLL sketch binary. NULL
+  * for an empty sketch. Runs once per output group on a compact
+  * sketch — interpreted eval (CodegenFallback) is deliberate; this is
+  * not a hot path. */
+case class KllQuantileEst(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_kll_quantile expects (binary, double), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_kll_quantile"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val sk = KllDoublesSketch.heapify(
+      Memory.wrap(a.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null else sk.getQuantile(b.asInstanceOf[Double])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object KllExprs {
+  /** Idempotent per-session registration (same rationale as
+    * SketchExprs.ensureRegistered). graft_kll_agg takes an optional
+    * second literal arg: k (default 200), the accuracy/size dial. */
+  def ensureRegistered(s: SparkSession): Unit = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_agg",
+      args => {
+        val k = if (args.size > 1) args(1).eval().toString.toInt else 200
+        KllSketchAgg(args.head, k).toAggregateExpression()
+      }, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_merge_agg",
+      args => KllMergeAgg(args.head).toAggregateExpression(), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_quantile",
+      args => KllQuantileEst(args(0), args(1)), "built-in")
+  }
+}

@@ -233,7 +233,25 @@ object Pipeline3 extends graft.QueryModule {
         sum(col("frame_feat")).as("feat_sum"))
       .orderBy("doc_id")
 
+  /** Mergeable-QUANTILE rollup (graft.api.Sketch.kllRollup): per-day
+    * KLL sketches of events.value, merged per event_type, p50/p90/p99
+    * estimates — percentile dashboards from stored sketches with no
+    * fact re-scan and no global sort anywhere (vs percentile_approx,
+    * which answers one grouping per scan). NO oracle (KLL compaction
+    * is randomized, so the sketch is engine- AND run-specific beyond
+    * capacity); Pipeline3Spec bounds every estimate's realized rank
+    * within KLL's error band of the requested rank. */
+  def aggKllQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.api.Sketch.kllRollup(
+        Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+        "value", fine = Seq("event_type", "day"), coarse = Seq("event_type"),
+        ranks = Seq(0.5, 0.9, 0.99))
+      .select(col("event_type"), col("p50"), col("p90"), col("p99"),
+        col("n_groups").as("n_days"))
+      .orderBy("event_type")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_kll_quantiles" -> aggKllQuantiles,
     "q_multimodal_framesample" -> multimodalFrameSample,
     "q_profile_columns" -> profileColumns,
     "q_agg_theta_intersect" -> aggThetaIntersect,

@@ -110,6 +110,30 @@ class Pipeline3Spec extends AnyFunSuite {
     assert(math.abs(e14 - 25000.0) <= 586.0, s"lgK=14 union=$e14")
   }
 
+  test("kll quantile rollup: every estimate's realized rank within the KLL band") {
+    // the sketch VALUE cannot be pinned (KLL compaction is randomized),
+    // but its rank guarantee can: for estimate q at requested rank r,
+    // |rank_of(q) - r| <= eps. k=200 -> eps ~1.65% (99% conf); allow
+    // 3.5% for the merge level + discrete small-n rank granularity.
+    val got = operators.Pipeline3.aggKllQuantiles(spark, dir).collect()
+    assert(got.nonEmpty)
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getDouble(1)).sorted }
+    got.foreach { r =>
+      val t = r.getString(0)
+      val v = vals(t)
+      assert(r.getLong(4) >= 1, s"$t: n_days missing")
+      Seq(1 -> 0.50, 2 -> 0.90, 3 -> 0.99).foreach { case (i, target) =>
+        val q = r.getDouble(i)
+        val rank = v.count(_ <= q).toDouble / v.length
+        assert(math.abs(rank - target) <= 0.035 + 1.0 / v.length,
+          s"$t p${(target * 100).round}: est=$q realized rank=$rank")
+      }
+    }
+  }
+
   test("hll sketch-merge estimate within 5% of exact per region") {
     val est = operators.Pipeline3.aggSketchHllMerge(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
