@@ -169,6 +169,35 @@ object Dedup {
       .where(col("matches") >= minMatches)
   }
 
+  /** k-word shingle ARRAY per row from a pre-split token-array column —
+    * the no-explode form of Text.shingles, usable where aggregation and
+    * explode-regroup are unavailable (a STREAMING ingestion row signs
+    * itself). Caller must filter `size(tokCol) >= k` first (Spark's
+    * `sequence` descends when the computed stop < start). */
+  def shingleArray(tokCol: String, k: Int): Column = {
+    val parts = (0 until k).map(j => s"$tokCol[i + ${j - 1}]").mkString(", ' ', ")
+    expr(s"array_distinct(transform(sequence(1, size($tokCol) - ${k - 1}), " +
+      s"i -> concat($parts)))")
+  }
+
+  /** Per-ROW MinHash signature (array<bigint>, one slot per perm, in
+    * perm order) from a shingle-array column — the aggregation-free
+    * twin of [[minhashSignatures]]: identical integers (same polyHash,
+    * same affine maps, min over the same shingle set), but computed as
+    * a pure projection on the row. This is the STREAMING ingestion
+    * form: a stream of new documents signs itself statelessly, then
+    * band-joins (posexplode of the array = (perm, minh)) against the
+    * stored corpus signatures — StreamingSpec asserts the stream-static
+    * pipeline equals batch [[newVsCorpus]]. */
+  def rowMinhashSig(shArrCol: String,
+      perms: Seq[(Int, Long, Long)]): Column =
+    array(perms.map { case (_, a, b) =>
+      expr(s"array_min(transform($shArrCol, s -> ($a * " +
+        "aggregate(sequence(1, length(s)), 0L, " +
+        "(acc, j) -> (acc * 131 + ascii(substring(s, j, 1))) % 1000000007) " +
+        s"+ $b) % 2147483647))")
+    }: _*)
+
   /** Incremental dedup — the ingestion-pipeline shape: candidates of a
     * NEW batch against an EXISTING corpus, by band-joining the batch's
     * MinHash signatures ([[minhashSignatures]]) against the corpus's
@@ -176,7 +205,9 @@ object Dedup {
     * computed once and STORED (16 small rows per doc); each incoming
     * batch only signs its own docs and equi-joins — the corpus text is
     * never re-shingled, and there is no batch-internal or corpus-
-    * internal pair blowup. Output: (new_id, corpus_id, matches). */
+    * internal pair blowup. The STREAMING form of the same join is
+    * [[rowMinhashSig]] + posexplode + stream-static band join (see
+    * StreamingSpec). Output: (new_id, corpus_id, matches). */
   def newVsCorpus(newSigs: DataFrame, corpusSigs: DataFrame,
       idCol: String, minMatches: Int): DataFrame = {
     val n = newSigs.select(col(idCol).as("new_id"), col("perm"), col("minh"))

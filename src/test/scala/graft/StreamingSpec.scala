@@ -19,6 +19,9 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
   * as epoch-µs. */
 case class FState(s: Option[Long], c: Option[Long], p: Option[Long])
 
+/** A document row for the streaming incremental-dedup twin. */
+case class Doc(doc_id: Long, text: String)
+
 /** Spark 4 transformWithState processor: per-user running (count, max)
   * kept in a ValueState — the modern arbitrary-state API (StatefulProcessor
   * + typed state handles + RocksDB store), successor to
@@ -132,6 +135,66 @@ class StreamingSpec extends AnyFunSuite {
       assertSame(sp.table("t_ssjoin").cache(),
         joined(clicks(batchEv), purchases(batchEv)))
     } finally q.stop()
+  }
+
+  test("streaming incremental dedup (stream-static band join) == batch newVsCorpus") {
+    // the ingestion form of q_dedup_incremental: NEW documents arrive
+    // as a stream, sign THEMSELVES statelessly (Dedup.rowMinhashSig —
+    // a per-row projection, since a stream row can't groupBy itself),
+    // band-join the STORED corpus signatures (stream-static equi-join,
+    // stateless), compute exact slot agreement from the two signature
+    // arrays, and emit candidate pairs. Must equal the batch
+    // newVsCorpus on the same split.
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val docs = Tables.documents(spark, dir)
+    val newDocs = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val corpusSigs = api.Dedup.minhashSignatures(
+      api.Text.shingles(corpus, "doc_id", "text", 3), "doc_id",
+      operators.TextOps.permTable)
+    val corpusBands = corpusSigs
+      .select(col("doc_id").as("corpus_id"), col("perm"), col("minh")).cache()
+    val corpusWide = corpusBands.groupBy("corpus_id")
+      .agg(expr("transform(array_sort(collect_list(struct(perm, minh))), " +
+        "p -> p.minh)").as("csig")).cache()
+    def pipeline(df: DataFrame): DataFrame = df
+      .withColumn("l", split(lower(col("text")), " "))
+      .where(size(col("l")) >= 3)
+      .withColumn("sh", api.Dedup.shingleArray("l", 3))
+      .withColumn("sig", api.Dedup.rowMinhashSig("sh", operators.TextOps.permTable))
+      .select(col("doc_id").as("new_id"), col("sig"),
+        posexplode(col("sig")).as(Seq("perm", "minh")))
+      .join(corpusBands, Seq("perm", "minh")) // stream-static, stateless
+      .join(corpusWide, "corpus_id")          // stream-static, stateless
+      .withColumn("matches", expr(
+        "aggregate(zip_with(sig, csig, (x, y) -> IF(x = y, 1L, 0L)), " +
+          "0L, (a, x) -> a + x)"))
+      .where(col("matches") >= 8)
+      .select("new_id", "corpus_id", "matches")
+      .dropDuplicates("new_id", "corpus_id") // collapse multi-band hits
+    val data = newDocs.select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[Doc]
+    val q = pipeline(mem.toDF()).writeStream.format("memory")
+      .queryName("t_incdedup").outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = data.splitAt(data.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val batch = api.Dedup.newVsCorpus(
+        api.Dedup.minhashSignatures(
+          api.Text.shingles(newDocs, "doc_id", "text", 3), "doc_id",
+          operators.TextOps.permTable),
+        corpusSigs, "doc_id", minMatches = 8)
+      assert(sp.table("t_incdedup").count() > 0,
+        "fixture must contain cross-split near-dups")
+      assertSame(sp.table("t_incdedup").cache(), batch)
+    } finally {
+      q.stop()
+      corpusBands.unpersist(); corpusWide.unpersist()
+    }
   }
 
   test("watermark drops events later than 10 minutes behind max ts") {
