@@ -498,6 +498,39 @@ object Sample {
   def byKeyHash(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.where(pmod(col(keyCol) * lit(1103515245L) + lit(12345L),
       lit(1000000007L)) % 100 < pct)
+
+  /** Data-MIXTURE sampling (training-mix construction): downsample each
+    * stratum to its share of a target `total`, shares given as integer
+    * `parts` (stratum -> weight) — per-stratum quota
+    * k_s = min(n_s, total * part_s div sum(parts)), exact integer
+    * arithmetic, so the quota is engine-neutral. WITHIN each stratum
+    * the kept rows are chosen by multiplicative-hash order of the key
+    * (pseudo-random but deterministic — re-runs, re-partitionings and
+    * both engines pick the SAME rows), with the id as tie-break.
+    *
+    * 100 TB: one count per stratum (tiny agg, broadcast back) + one
+    * partitioned window per stratum — no global sort; a stratum is a
+    * language/source shard, so the window partitions are the natural
+    * data shards. Output: input columns + rn (1-based hash-order rank
+    * within stratum). */
+  def mixtureCap(df: DataFrame, strataCol: String, idCol: String,
+      parts: Seq[(String, Long)], total: Long): DataFrame = {
+    val sumParts = parts.map(_._2).sum
+    val quota = df.sparkSession.createDataFrame(parts)
+      .toDF(strataCol, "part")
+    val ks = df.groupBy(strataCol).agg(count(lit(1)).as("ns"))
+      .join(quota, strataCol)
+      .select(col(strataCol),
+        least(col("ns"), expr(s"($total * part) div $sumParts")).as("ks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(pmod(col(idCol) * lit(1103515245L) + lit(12345L),
+        lit(1000000007L)).asc, col(idCol).asc)
+    df.withColumn("rn", row_number().over(w))
+      .join(broadcast(ks), strataCol)
+      .where(col("rn") <= col("ks"))
+      .drop("ks")
+  }
 }
 
 object Rel {

@@ -250,7 +250,22 @@ object Pipeline3 extends graft.QueryModule {
         col("n_groups").as("n_days"))
       .orderBy("event_type")
 
+  /** Data-mixture sampling (graft.api.Sample.mixtureCap): downsample
+    * the corpus to a target language mixture — en:4 de:2 es:2 fr:1 zh:1
+    * parts of a 300-doc budget, per-lang quota = min(n_lang,
+    * 300*part div 10), rows chosen by deterministic hash order. The
+    * training-mix construction step of an LLM data pipeline: the SAME
+    * rows are picked on any engine, partitioning, or re-run. */
+  def sampleMixture(s: SparkSession, dir: String): DataFrame =
+    graft.api.Sample.mixtureCap(Tables.documents(s, dir), "lang", "doc_id",
+        parts = Seq("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L,
+          "zh" -> 1L),
+        total = 300L)
+      .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rn"))
+      .orderBy("lang", "doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_mixture" -> sampleMixture,
     "q_agg_kll_quantiles" -> aggKllQuantiles,
     "q_multimodal_framesample" -> multimodalFrameSample,
     "q_profile_columns" -> profileColumns,
@@ -321,6 +336,20 @@ object Pipeline3 extends graft.QueryModule {
         |  CAST(sidx = 4 AS BIGINT) AS oh_4
         |FROM customer c JOIN idx USING (c_mktsegment)
         |ORDER BY c_custkey""".stripMargin,
+    "q_sample_mixture" ->
+      """WITH w(lang, part) AS (VALUES ('en', 4), ('de', 2), ('es', 2),
+        |                             ('fr', 1), ('zh', 1)),
+        |n AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY lang),
+        |k AS (SELECT w.lang, LEAST(ns, (300 * part) // 10) AS ks
+        |      FROM w JOIN n USING (lang)),
+        |r AS (SELECT lang, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY (doc_id * 1103515245 + 12345) % 1000000007 ASC,
+        |                   doc_id ASC) AS rn
+        |      FROM documents)
+        |SELECT r.lang, doc_id, CAST(rn AS BIGINT) AS rn
+        |FROM r JOIN k ON r.lang = k.lang AND rn <= ks
+        |ORDER BY r.lang, doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, doc_id, rn FROM (
         |  SELECT lang, doc_id,

@@ -258,6 +258,34 @@ class ApiSpec extends AnyFunSuite {
       ("y", 8L), ("y", 9L), ("y", 10L)))
   }
 
+  test("Sample.mixtureCap: integer-part quotas, stratum-size cap, hash-order determinism") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 100L)
+      .map(i => (i, if (i < 60) "a" else if (i < 90) "b" else "c"))
+      .toDF("id", "g")
+    // parts a:3 b:1 c:1 of total 50 -> quotas 30/10/10, all under n_s
+    val m = api.Sample.mixtureCap(df, "g", "id",
+      Seq("a" -> 3L, "b" -> 1L, "c" -> 1L), 50L)
+    val counts = m.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 30L, "b" -> 10L, "c" -> 10L), counts.toString)
+    // total 1000 -> raw quotas 600/200/200 must cap at n_s = 60/30/10
+    val capped = api.Sample.mixtureCap(df, "g", "id",
+        Seq("a" -> 3L, "b" -> 1L, "c" -> 1L), 1000L)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("a" -> 60L, "b" -> 30L, "c" -> 10L), capped.toString)
+    // deterministic: same rows on a re-run
+    val ids1 = m.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = api.Sample.mixtureCap(df, "g", "id",
+        Seq("a" -> 3L, "b" -> 1L, "c" -> 1L), 50L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // hash order, not id order: the kept set must differ from lowest-ids
+    assert(ids1 != (0L until 30L).toSet ++ (60L until 70L).toSet ++ (90L until 100L).toSet)
+  }
+
   test("Sample.byKeyHash: reproducible and nested (pct10 subset of pct20)") {
     val sp = spark
     import sp.implicits._
