@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Per-query CPU regression gate (VERDICT r5 task 7).
+
+Usage: python3 scripts/cpu_gate.py [bench_queries.json] [budgets.json]
+
+Compares a bench run's per-query CPU (the "cpu" map Bench.scala writes
+to bench_queries.json) against the committed budgets in
+scripts/cpu_budgets.json (recorded from a quiet run at round close).
+FAILS (exit 1) if any query exceeds 2x its budget — so a hotspot like
+r5's q_win_topk_group (3x its r3 cost, landed silently) trips the gate
+instead of surfacing two rounds later in a verdict.
+
+Queries with no budget (new this round) are listed as warnings; record
+them into the budget file at round close. Sub-0.2-CPU-s budgets are
+floored to 0.2 s before the 2x test: at that magnitude the measurement
+is scheduler noise, not plan shape.
+
+This is a DEV tool (run manually / at round close), not part of the
+shipped library.
+"""
+import json
+import sys
+
+FLOOR = 0.2
+FACTOR = 2.0
+
+
+def main():
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench_queries.json"
+    budget_path = sys.argv[2] if len(sys.argv) > 2 else "scripts/cpu_budgets.json"
+    with open(bench_path) as f:
+        bench = json.load(f)
+    with open(budget_path) as f:
+        budgets = json.load(f)
+    cpu = bench.get("cpu", {})
+    if not cpu:
+        print("FAIL: bench file has no per-query cpu map")
+        return 1
+    failures, warnings = [], []
+    for name, got in sorted(cpu.items()):
+        if name not in budgets:
+            warnings.append(f"  NEW   {name}: cpu={got:.2f}s (no budget recorded)")
+            continue
+        allowed = max(budgets[name], FLOOR) * FACTOR
+        if got > allowed:
+            failures.append(
+                f"  OVER  {name}: cpu={got:.2f}s > {FACTOR}x budget "
+                f"{budgets[name]:.2f}s (allowed {allowed:.2f}s)")
+    for name in sorted(set(budgets) - set(cpu)):
+        warnings.append(f"  GONE  {name}: budgeted but not in bench run")
+    for w in warnings:
+        print(w)
+    if failures:
+        print("\nCPU regression gate: FAIL")
+        for f_ in failures:
+            print(f_)
+        return 1
+    print(f"\nCPU regression gate: PASS "
+          f"({len(cpu)} queries, {len(warnings)} warnings)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,6 +69,39 @@ object Text {
     * 100 TB: the cumsum window is partitioned by stratum; a real
     * pre-training pipeline packs per shard (stratum = shard id), so no
     * single partition ever scans more than one shard. */
+  /** Corpus profile per stratum (language/source shard): doc count,
+    * exact-ppm average chars, vocabulary size, chars-per-token — the
+    * pre-training "what's in this corpus" pass. One tokenize total:
+    * sum_tokens falls out of the same explode that feeds the vocab
+    * distinct.
+    *
+    * `approx` is the 100 TB dial (mirrors Profile.columns): the vocab
+    * is a genuinely high-cardinality distinct at corpus scale — false
+    * = exact countDistinct (oracle-verifiable; the distinct state
+    * grows with the vocabulary), true = approx_count_distinct at
+    * relative error `rsd` — a mergeable HLL± partial agg whose state
+    * is constant-size per stratum regardless of vocabulary. */
+  def corpusStats(docs: DataFrame, strataCol: String, textCol: String,
+      nCharsCol: String, approx: Boolean = false,
+      rsd: Double = 0.05): DataFrame = {
+    val nd = if (approx) approx_count_distinct(col("token"), rsd)
+      else countDistinct(col("token"))
+    val docStats = docs.groupBy(strataCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(nCharsCol)).as("sum_chars"))
+    val vocab = docs
+      .select(col(strataCol),
+        explode(expr(s"filter(split(lower($textCol), ' '), x -> x <> '')"))
+          .as("token"))
+      .groupBy(strataCol).agg(count(lit(1)).as("sum_tokens"),
+        nd.as("vocab_size"))
+    docStats.join(vocab, strataCol)
+      .select(col(strataCol), col("n_docs"),
+        expr("(1000000 * sum_chars) div n_docs").as("avg_chars_ppm"),
+        col("vocab_size"),
+        expr("(1000000 * sum_chars) div sum_tokens").as("chars_per_token_ppm"))
+  }
+
   /** Language ID by lexicon-hit voting: join the token table to a
     * (lang, token) lexicon, count hits per (id, lang), argmax with a
     * deterministic (hits DESC, lang ASC) tie-break. Ids with zero
@@ -275,6 +308,41 @@ object Dedup {
           "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"))
         .as("p"))
       .select(col("p.d1"), col("p.d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("d1", "d2", "inter", "jaccard")
+  }
+
+  /** Exact Jaccard VERIFICATION of a candidate-pair frame (d1, d2) —
+    * the second stage of the standard two-stage near-dup pipeline:
+    * MinHash banding proposes ([[minhashCandidates]]), exact Jaccard
+    * disposes. Unlike [[jaccardPairs]] (which generates pairs from
+    * posting lists and counts intersections for ALL of them, discarding
+    * most below the threshold), this counts intersections ONLY for the
+    * given candidates — at any scale the exact-count cost is
+    * proportional to the near-dup rate, not to the shingle-collision
+    * rate.
+    *
+    * 100 TB: candidates are the band-join survivors — by construction
+    * a tiny fraction of the corpus (if they aren't, the corpus is
+    * mostly duplicates and banding parameters are wrong), so the pair
+    * frame broadcasts; both shingle sides are then pre-filtered to
+    * candidate docs before the (doc, shingle) equi-join. No full
+    * self-join of the shingle table ever happens. */
+  def jaccardVerify(sh: DataFrame, idCol: String, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val cand = broadcast(candidates.select(col("d1"), col("d2")))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val lhs = sh.select(col(idCol).as("d1"), col("shingle")).join(cand, "d1")
+    val rhs = sh.select(col(idCol).as("d2"), col("shingle"))
+      .join(broadcast(cand.select("d2").distinct()), "d2")
+    val inter = lhs.join(rhs, Seq("d2", "shingle"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("d1"), col("sz").as("sz1")), "d1")
@@ -596,19 +664,25 @@ object Sketch {
     * (columns p50, p90, ... from the rank×100). Store the fine
     * sketches once; any coarser percentile dashboard is a merge over
     * sketches, never a re-scan/re-sort of the fact table. `k` dials
-    * normalized rank error (~1.65% at the default 200). Estimates are
-    * rounded to 4dp. Output: coarse keys + p-columns + n_groups. */
+    * normalized rank error (~1.65% at the default 200) and threads
+    * through the merge buffers too (KLL merge takes the MIN k of its
+    * inputs — a default-k buffer would downgrade finer sketches).
+    * Estimates are rounded to 4dp; column names keep the rank's full
+    * precision (p50, p99, p99_9 — not a rounded percent, which would
+    * collide ranks >= 0.995 at p100). Output: coarse keys + p-columns
+    * + n_groups. */
   def kllRollup(df: DataFrame, valueCol: String, fine: Seq[String],
       coarse: Seq[String], ranks: Seq[Double], k: Int = 200): DataFrame = {
     graft.functions.KllExprs.ensureRegistered(df.sparkSession)
     val merged = df.groupBy(fine.map(col): _*)
       .agg(expr(s"graft_kll_agg($valueCol, $k)").as("sk"))
       .groupBy(coarse.map(col): _*)
-      .agg(expr("graft_kll_merge_agg(sk)").as("sk"),
+      .agg(expr(s"graft_kll_merge_agg(sk, $k)").as("sk"),
         count(lit(1)).as("n_groups"))
     val qCols = ranks.map { r =>
-      expr(s"round(graft_kll_quantile(sk, ${r}D), 4)")
-        .as(s"p${math.round(r * 100)}")
+      val pct = (BigDecimal(r.toString) * 100).underlying
+        .stripTrailingZeros.toPlainString.replace('.', '_')
+      expr(s"round(graft_kll_quantile(sk, ${r}D), 4)").as(s"p$pct")
     }
     merged.select(coarse.map(col) ++ qCols :+ col("n_groups"): _*)
   }

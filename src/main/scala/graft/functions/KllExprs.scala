@@ -80,6 +80,7 @@ case class KllSketchAgg(
   * quantile twin of hll_union_agg). */
 case class KllMergeAgg(
     child: Expression,
+    k: Int = 200,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
@@ -93,11 +94,13 @@ case class KllMergeAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_kll_merge_agg"
 
-  // merge buffers always start at the max default k; merging a sketch
-  // built at smaller k downgrades the buffer to that k (standard KLL
-  // semantics: accuracy is min over merged inputs)
+  // The merge buffer's k must be >= the stored sketches' k: KLL merge
+  // takes the MIN k of the inputs, so a buffer at DataSketches'
+  // default 200 would silently downgrade fine sketches built with a
+  // larger k (ADVICE r5). Callers merging k>200 sketches pass the same
+  // k they stored with (kllRollup threads its k through).
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(200)
+    KllDoublesSketch.newHeapInstance(k)
 
   override def update(buffer: KllDoublesSketch,
       input: InternalRow): KllDoublesSketch = {
@@ -171,7 +174,10 @@ object KllExprs {
       }, "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_merge_agg",
-      args => KllMergeAgg(args.head).toAggregateExpression(), "built-in")
+      args => {
+        val k = if (args.size > 1) args(1).eval().toString.toInt else 200
+        KllMergeAgg(args.head, k).toAggregateExpression()
+      }, "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_quantile",
       args => KllQuantileEst(args(0), args(1)), "built-in")

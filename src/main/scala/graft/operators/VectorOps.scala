@@ -264,16 +264,25 @@ object VectorOps extends graft.QueryModule {
     * test rows. The fixture's `label` column is NOT learnable from the
     * embeddings out-of-sample (LR hits 47% train / 7% test —
     * memorization), so the evaluator targets the Voronoi cells KMeans
-    * actually finds: linear boundaries, ~72% held-out accuracy. NO
-    * oracle (iterative fits); TextVectorSpec bounds accuracy above
-    * chance and pins run-to-run determinism. */
+    * actually finds: linear boundaries, ~72% held-out accuracy.
+    *
+    * Caveat stated plainly (ADVICE r5): the target is the SHARED
+    * KMeans fit over the FULL dataset — a feature-only function whose
+    * DEFINITION saw the test rows' features (never any outside label).
+    * What stays honest out-of-sample is the LR: it fits on train-fold
+    * rows only, and each row's target depends only on that row's own
+    * features. This demonstrates evaluator plumbing over a shared
+    * model artifact, not a leakage-free benchmark protocol — a real
+    * benchmark would freeze the target on train-only data. NO oracle
+    * (iterative fits); TextVectorSpec bounds accuracy above chance and
+    * pins run-to-run determinism. */
   def mlEvalAccuracy(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
     val feats = rawFeats(s, dir)
     // the shared KMeans target ([[kmeansTarget]], memoized) defines the
     // labeling FUNCTION — a fixed, deterministic Voronoi partition; the
-    // LR fit sees only train-fold rows, and held-out scoring is still
-    // honest because the target of row x depends only on x itself.
+    // LR fit sees only train-fold rows (see the scaladoc caveat on the
+    // target's full-data fit).
     val km = kmeansTarget(s, dir)
     // the LR fit rescans train unless cached; the fit is eager, so
     // unpersist right after it — only the cheap lazy test-side

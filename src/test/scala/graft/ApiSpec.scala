@@ -396,6 +396,49 @@ class ApiSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("Text.corpusStats: approx vocab within rsd of exact; other columns identical") {
+    val docs = Tables.documents(spark, TestSpark.sf001)
+    def byLang(approx: Boolean) =
+      api.Text.corpusStats(docs, "lang", "text", "n_chars", approx = approx)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val exact = byLang(approx = false)
+    val appx = byLang(approx = true)
+    assert(exact.keySet == appx.keySet && exact.nonEmpty)
+    exact.foreach { case (lang, (nDocs, avgChars, vocab, cpt)) =>
+      val (aDocs, aAvg, aVocab, aCpt) = appx(lang)
+      assert((aDocs, aAvg, aCpt) == ((nDocs, avgChars, cpt)),
+        s"$lang: non-vocab columns must not change with the dial")
+      // rsd=0.05 is a 1-sigma relative error; allow 3 sigma.
+      assert(math.abs(aVocab - vocab) <= 0.15 * vocab,
+        s"$lang: approx vocab=$aVocab exact=$vocab")
+    }
+  }
+
+  test("Sketch.kllRollup: k threads through the merge; sub-percent ranks keep distinct names") {
+    val sp = spark
+    import sp.implicits._
+    functions.KllExprs.ensureRegistered(sp)
+    val df = (1 to 2000).map(i => (i % 4, i % 20, i.toDouble)).toDF("g", "f", "v")
+    // ranks 0.995 and 0.999 used to BOTH name p100 (ADVICE r5) — now
+    // p99_5 / p99_9, select-by-name safe.
+    val rolled = api.Sketch.kllRollup(df, "v", fine = Seq("g", "f"),
+      coarse = Seq("g"), ranks = Seq(0.5, 0.995, 0.999), k = 400)
+    assert(rolled.columns.toSeq == Seq("g", "p50", "p99_5", "p99_9", "n_groups"))
+    assert(rolled.count() == 4)
+    // the merged sketch must keep the caller's k = 400, not downgrade
+    // to the k=200 default via the merge buffer (KLL merge takes the
+    // MIN k of its inputs — ADVICE r5).
+    val bin = df.groupBy("g", "f")
+      .agg(expr("graft_kll_agg(v, 400)").as("sk"))
+      .agg(expr("graft_kll_merge_agg(sk, 400)").as("m"))
+      .head().getAs[Array[Byte]](0)
+    val merged = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bin))
+    assert(merged.getK == 400, s"merged k=${merged.getK}")
+    assert(merged.getN == 2000)
+  }
+
   test("Sketch.hllRollup: estimate exact at small cardinality; groups counted") {
     val sp = spark
     import sp.implicits._
