@@ -89,21 +89,23 @@ object Windows extends graft.QueryModule {
     * rank orders on the EXACT decimal revenue; only the projected
     * column is cast to double (output-type rule, see Aggregates). */
   def topkGroup(s: SparkSession, dir: String): DataFrame = {
-    // Partition ONCE by the window key, BEFORE the aggregation: the
-    // groupBy keys (l_suppkey, l_partkey) are a superset of l_suppkey,
-    // so the agg, the rank sort, the WindowGroupLimit and the window
-    // all reuse the single user-pinned exchange — one shuffle total,
-    // full 32-way parallelism end to end. The r3-close shape
-    // (agg -> repartition -> window) had TWO shuffles and its
-    // WindowGroupLimit Partial sat ABOVE the repartition exchange,
-    // pruning nothing — ~3x the CPU of this plan (VERDICT r5 #1). A
-    // user numPartitions is never AQE-coalesced, so the per-supplier
-    // sort cannot serialize into one task (the r3 trap). Trade-off:
-    // map-side combine on (suppkey, partkey) is forgone — that key is
-    // near-unique per lineitem row (~7 rows/pair at SF1), so the
-    // combine saved little while its extra shuffle cost ~2x this plan.
+    // Plain declarative shape — no hand-pinned repartition. Three
+    // rounds of hand-tuning this query (r3 repartition-after-agg, r5
+    // repartition-before-agg) each LOST to the naive plan once
+    // measured in a quiet JVM with fair JIT ordering (Scratch lab,
+    // r6): naive ~3.1 CPU-s / 2.4 s wall steady vs 10-26 CPU-s for
+    // repartition-before-agg (the full-width decimal partial+final
+    // agg stacked post-shuffle is the burner) and ~4.8 CPU-s for
+    // repartition-after-agg. What the naive plan gets right, and the
+    // pinned ones fought: (1) map-side partial agg runs on the
+    // columnar scan; (2) the optimizer inserts WindowGroupLimit
+    // PARTIAL below the window exchange — each map task forwards at
+    // most 3 rows per supplier into the shuffle, which at 100 TB is
+    // the difference between shuffling the whole agg output and
+    // shuffling ~top-3-per-group; (3) AQE sizes the post-shuffle
+    // partitions. PlanShapeSpec pins the Partial-below-exchange
+    // topology so a regression rebreaks loudly (VERDICT r5 #1).
     val rev = Tables.lineitem(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("l_suppkey"))
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum(revenue).as("rev_dec"))
     val w = Window.partitionBy(col("l_suppkey"))
