@@ -179,7 +179,64 @@ object ExtraText extends graft.QueryModule {
       .limit(100)
   }
 
+  /** Corpus vocabulary table with dense ids — the tokenizer-building
+    * step of a training pipeline: token -> corpus count, id = rank by
+    * (count desc, token asc), truncated to the top 1000. Scale shape:
+    * the global ranking problem is solved DISTRIBUTED by the count agg
+    * + TakeOrdered(1000) (never a full sort); the id-assigning window
+    * runs over at most 1000 surviving rows, so its single partition is
+    * bounded by the vocab cap, not the corpus. */
+  def textVocab(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = graft.api.Text
+      .tokens(Tables.documents(s, dir), "doc_id", "text")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(1000)
+    top.withColumn("vocab_id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)))
+      .select(col("vocab_id").cast("long").as("vocab_id"),
+        col("token"), col("cnt"))
+      .orderBy("vocab_id")
+  }
+
+  /** Gopher-style repetition ratios per document — the repetition
+    * family of LLM-corpus quality filters: duplicate-token fraction
+    * (1 - distinct/total), most-frequent-token fraction, and
+    * duplicate-2-gram fraction, all as EXACT parts-per-million via
+    * integer division (§2.0.2: rounding computed doubles diverges
+    * between engines at exact-half boundaries). Two explode+agg
+    * passes (unigrams, 2-grams) joined on doc_id — per-doc work, no
+    * cross-doc shuffle beyond the doc_id agg, so it scales like every
+    * other per-document text operator. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val uni = graft.api.Text.tokens(docs, "doc_id", "text")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tok"),
+        count(lit(1)).as("nd_tok"),
+        max(col("c")).as("top_c"))
+    val bi = docs
+      .withColumn("l", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .where(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> concat(l[i-1], ' ', l[i]))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c2"))
+      .groupBy("doc_id")
+      .agg(sum(col("c2")).as("n_bi"), count(lit(1)).as("nd_bi"))
+    uni.join(bi, "doc_id")
+      .select(col("doc_id"), col("n_tok"),
+        expr("(1000000 * (n_tok - nd_tok)) div n_tok").as("dup_token_ppm"),
+        expr("(1000000 * top_c) div n_tok").as("top_token_ppm"),
+        expr("(1000000 * (n_bi - nd_bi)) div n_bi").as("dup_2gram_ppm"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_vocab" -> textVocab,
+    "q_text_repetition" -> textRepetition,
     "q_text_decontaminate" -> textDecontaminate,
     "q_text_langid" -> textLangid,
     "q_text_quality" -> textQuality,
@@ -195,6 +252,42 @@ object ExtraText extends graft.QueryModule {
       |WHERE tokens[s] <> ''""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_vocab" ->
+      s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT)
+        |    AS vocab_id, token, cnt
+        |FROM (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ($tokensSql) GROUP BY token
+        |  ORDER BY cnt DESC, token ASC LIMIT 1000)
+        |ORDER BY vocab_id""".stripMargin,
+    "q_text_repetition" ->
+      s"""WITH uni AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    CAST(COUNT(*) AS BIGINT) AS nd_tok, CAST(MAX(c) AS BIGINT) AS top_c
+        |  FROM (SELECT doc_id, token, COUNT(*) AS c
+        |        FROM ($tokensSql) GROUP BY doc_id, token)
+        |  GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id, CAST(SUM(c2) AS BIGINT) AS n_bi,
+        |    CAST(COUNT(*) AS BIGINT) AS nd_bi
+        |  FROM (
+        |    SELECT doc_id, g, COUNT(*) AS c2
+        |    FROM (
+        |      SELECT doc_id, l[s] || ' ' || l[s+1] AS g
+        |      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS s
+        |            FROM (SELECT doc_id,
+        |                    list_filter(str_split(lower(text), ' '),
+        |                                x -> x <> '') AS l
+        |                  FROM documents))
+        |      WHERE len(l) >= 2)
+        |    GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT uni.doc_id AS doc_id, n_tok,
+        |  (1000000 * (n_tok - nd_tok)) // n_tok AS dup_token_ppm,
+        |  (1000000 * top_c) // n_tok AS top_token_ppm,
+        |  (1000000 * (n_bi - nd_bi)) // n_bi AS dup_2gram_ppm
+        |FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_text_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_distinct(

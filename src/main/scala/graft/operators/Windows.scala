@@ -117,6 +117,36 @@ object Windows extends graft.QueryModule {
       .orderBy("l_suppkey", "rn")
   }
 
+  /** Gap-based batch sessionization — the batch twin of
+    * q_stream_session's `session_window` (30-min gap): a new session
+    * starts where the gap to the previous event exceeds the threshold;
+    * session id = running count of session starts. The canonical
+    * two-window stack (lag, then running sum) + one agg, all
+    * partitioned by user_id — at 100 TB each user's event stream sorts
+    * within its partition, no global sort, and the agg reuses the
+    * window's partitioning (no second shuffle). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.events(s, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd)))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > lit(gapUs), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_s")).over(wRun))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(dec2("value")).cast("double").as("sum_value"))
+      .withColumn("duration_us",
+        unix_micros(col("session_end")) - unix_micros(col("session_start")))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** first_value / last_value with an explicit full frame (the default
     * frame stops at CURRENT ROW — a classic silent-wrong-answer). */
   def firstLast(s: SparkSession, dir: String): DataFrame = {
@@ -138,6 +168,7 @@ object Windows extends graft.QueryModule {
     "q_win_frame_rows" -> frameRows,
     "q_win_frame_range" -> frameRange,
     "q_win_topk_group" -> topkGroup,
+    "q_win_sessionize" -> sessionize,
     "q_win_first_last" -> firstLast)
 
   def oracleSql: Map[String, String] = Map(
@@ -190,6 +221,27 @@ object Windows extends graft.QueryModule {
         |      SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev_dec
         |    FROM lineitem GROUP BY l_suppkey, l_partkey)
         |) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "q_win_sessionize" ->
+      """SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |      epoch_us(ts) - epoch_us(LAG(ts, 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |        AS gap_us
+        |    FROM events))
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "q_win_first_last" ->
       """SELECT DISTINCT o_custkey,
         |  FIRST_VALUE(o_orderkey) OVER w AS first_order,

@@ -66,4 +66,36 @@ class ExtraSpec extends AnyFunSuite {
     assert(p.where(col("cos") < 0.4).count() == 0)
     p.unpersist()
   }
+
+  test("vocab ids are dense 1..n with non-increasing counts") {
+    val v = run("q_text_vocab").collect()
+    assert(v.nonEmpty && v.length <= 1000)
+    assert(v.map(_.getLong(0)).toSeq == (1L to v.length).toSeq)
+    val cnts = v.map(_.getLong(2)).toSeq
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, cnts)
+  }
+
+  test("repetition ppm ratios are in range; tiny vocab forces dup tokens") {
+    val r = run("q_text_repetition").cache()
+    for (c <- Seq("dup_token_ppm", "top_token_ppm", "dup_2gram_ppm")) {
+      assert(r.where(col(c) < 0 || col(c) > 1000000).count() == 0, c)
+    }
+    // 31-word vocabulary + 20-to-80-token docs: nearly every doc
+    // repeats tokens, so the corpus-average dup ratio must be large
+    val meanDup = r.agg(avg(col("dup_token_ppm"))).head().getDouble(0)
+    assert(meanDup > 100000, s"avg dup_token_ppm=$meanDup")
+    r.unpersist()
+  }
+
+  test("batch sessionize equals streaming session_window on boundaries") {
+    // same 30-min gap rule: (user, start, n_events) sets must coincide
+    val batch = run("q_win_sessionize")
+      .select("user_id", "session_start", "n_events").collect()
+      .map(_.toSeq).toSet
+    val stream = run("q_stream_session")
+      .select("user_id", "session_start", "n_events").collect()
+      .map(_.toSeq).toSet
+    assert(batch == stream,
+      s"only-batch=${(batch -- stream).take(3)} only-stream=${(stream -- batch).take(3)}")
+  }
 }
