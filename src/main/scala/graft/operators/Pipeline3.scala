@@ -250,6 +250,26 @@ object Pipeline3 extends graft.QueryModule {
         col("n_groups").as("n_days"))
       .orderBy("event_type")
 
+  /** Mergeable TOP-K rollup (graft.api.Sketch.freqTopkRollup): top-10
+    * tokens per language from frequent-items sketches — one sketch per
+    * (lang, source) fine group, merged per lang. The heavy-hitters
+    * answer over 100 TB of text where the exact (lang, token) count
+    * table is itself huge: per-group state is a fixed-size binary
+    * (Misra-Gries family via DataSketches), not an unbounded count
+    * map. Runs in the EXACT regime here (maxMapSize 128 holds the
+    * fixture's 31-word vocabulary without purges), so the DuckDB
+    * oracle checks true equality with the exact counts; FreqSpec
+    * bounds the capacity-constrained regime separately. */
+  def aggFreqTopk(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), explode(expr(
+        "filter(split(lower(text), ' '), x -> x <> '')")).as("token"))
+    graft.api.Sketch.freqTopkRollup(toks, "token",
+        fine = Seq("lang", "source"), coarse = Seq("lang"), k = 10)
+      .withColumnRenamed("item", "token")
+      .orderBy("lang", "rank")
+  }
+
   /** Data-mixture sampling (graft.api.Sample.mixtureCap): downsample
     * the corpus to a target language mixture — en:4 de:2 es:2 fr:1 zh:1
     * parts of a 300-doc budget, per-lang quota = min(n_lang,
@@ -267,6 +287,7 @@ object Pipeline3 extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_mixture" -> sampleMixture,
     "q_agg_kll_quantiles" -> aggKllQuantiles,
+    "q_agg_freq_topk" -> aggFreqTopk,
     "q_multimodal_framesample" -> multimodalFrameSample,
     "q_profile_columns" -> profileColumns,
     "q_agg_theta_intersect" -> aggThetaIntersect,
@@ -280,6 +301,21 @@ object Pipeline3 extends graft.QueryModule {
     "q_stream_join" -> ((s, d) => streamJoinAttribution(Tables.events(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_agg_freq_topk" ->
+      """SELECT lang, CAST(rn AS BIGINT) AS rank, token, cnt AS est
+        |FROM (
+        |  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY COUNT(*) DESC, token ASC) AS rn
+        |  FROM (
+        |    SELECT lang, tokens[s] AS token
+        |    FROM (SELECT lang, tokens, unnest(range(1, len(tokens)+1)) AS s
+        |          FROM (SELECT lang, str_split(lower(text), ' ') AS tokens
+        |                FROM documents))
+        |    WHERE tokens[s] <> '')
+        |  GROUP BY lang, token)
+        |WHERE rn <= 10
+        |ORDER BY lang, rank""".stripMargin,
     "q_multimodal_framesample" ->
       """WITH f AS (
         |  SELECT doc_id, text,
