@@ -336,22 +336,45 @@ object Dedup {
     * candidate docs before the (doc, shingle) equi-join. No full
     * self-join of the shingle table ever happens. */
   def jaccardVerify(sh: DataFrame, idCol: String, candidates: DataFrame,
-      threshold: Double): DataFrame = {
-    val cand = broadcast(candidates.select(col("d1"), col("d2")))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val lhs = sh.select(col(idCol).as("d1"), col("shingle")).join(cand, "d1")
-    val rhs = sh.select(col(idCol).as("d2"), col("shingle"))
-      .join(broadcast(cand.select("d2").distinct()), "d2")
-    val inter = lhs.join(rhs, Seq("d2", "shingle"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col(idCol).as("d2"), col("sz").as("sz2")), "d2")
+      threshold: Double): DataFrame =
+    pairStats(sh, idCol, candidates)
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")), 6))
       .where(col("jaccard") >= threshold)
       .select("d1", "d2", "inter", "jaccard")
+
+  /** Exact CONTAINMENT on candidate pairs — the asymmetric twin of
+    * [[jaccardVerify]]: containment = |A∩B| / min(|A|,|B|) flags a
+    * short document embedded in a longer one (a quote, a boilerplate
+    * block, a subsumed snippet), which symmetric Jaccard dilutes —
+    * |A∩B|/|A∪B| shrinks as the size gap grows even at full overlap.
+    * Same candidate-restricted topology and cost as jaccardVerify. */
+  def containmentVerify(sh: DataFrame, idCol: String,
+      candidates: DataFrame, threshold: Double): DataFrame =
+    pairStats(sh, idCol, candidates)
+      .withColumn("containment",
+        round(col("inter").cast("double") /
+          least(col("sz1"), col("sz2")), 6))
+      .where(col("containment") >= threshold)
+      .select("d1", "d2", "inter", "containment")
+
+  /** Shared exact-overlap base of the verify family: for each
+    * candidate (d1, d2), the shingle-intersection count plus both doc
+    * sizes. Candidates broadcast (band-join survivors are tiny by
+    * construction); both shingle sides pre-filter to candidate docs
+    * before the (doc, shingle) equi-join — no shingle self-join. */
+  private def pairStats(sh: DataFrame, idCol: String,
+      candidates: DataFrame): DataFrame = {
+    val cand = broadcast(candidates.select(col("d1"), col("d2")))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val lhs = sh.select(col(idCol).as("d1"), col("shingle")).join(cand, "d1")
+    val rhs = sh.select(col(idCol).as("d2"), col("shingle"))
+      .join(broadcast(cand.select("d2").distinct()), "d2")
+    lhs.join(rhs, Seq("d2", "shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("sz2")), "d2")
   }
 
   /** Connected components over an undirected edge list — the canonical

@@ -191,22 +191,44 @@ object TextOps extends graft.QueryModule {
     * everything to verify <1% of it would dwarf the band join. Same
     * arithmetic hashing as q_dedup_minhash, so the oracle twin stays
     * pure SQL (VERDICT r5 #2: ~9 -> <=5 CPU-s). */
-  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Band candidates (from the stored signatures) + the shingles of
+    * exactly the docs they mention — the shared front half of the
+    * verify-family queries. Both frames localCheckpoint (eager): the
+    * candidates feed the doc-id semi-join and both verify broadcasts,
+    * the shingles feed sizes + both join sides (leak-free;
+    * ContextCleaner frees the RDDs). */
+  private def candidateShingles(s: SparkSession, dir: String,
+      minMatches: Int): (DataFrame, DataFrame) = {
     val sig = s.read.parquet(ensureFullSigs(s, dir))
-    // localCheckpoint (eager): candidates feed the doc-id semi-join
-    // and both jaccardVerify broadcasts — materialize the band join
-    // once (leak-free; ContextCleaner frees the RDD).
-    val cand = graft.api.Dedup.minhashCandidates(sig, "doc_id",
-        minMatches = 8)
+    val cand = graft.api.Dedup.minhashCandidates(sig, "doc_id", minMatches)
       .localCheckpoint(true)
     val candIds = cand
       .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
     val candDocs = Tables.documents(s, dir)
       .join(broadcast(candIds), "doc_id")
     val sh = graft.api.Text.shingles(candDocs, "doc_id", "text", 3)
-      .localCheckpoint(true) // consumed 3x: sizes + both join sides
+      .localCheckpoint(true)
+    (cand, sh)
+  }
+
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val (cand, sh) = candidateShingles(s, dir, minMatches = 8)
     graft.api.Dedup.jaccardVerify(sh, "doc_id", cand, threshold = 0.5)
       .orderBy(col("jaccard").desc, col("d1").asc, col("d2").asc)
+      .limit(100)
+  }
+
+  /** Asymmetric containment dedup (graft.api.Dedup.containmentVerify):
+    * |A∩B| / min(|A|,|B|) over a WIDER candidate band (≥4/16 slots —
+    * a subsumed short doc agrees on fewer MinHash slots than a
+    * symmetric near-dup, since Jaccard, which MinHash estimates,
+    * dilutes with the size gap). Catches boilerplate blocks and
+    * quoted snippets that q_dedup_jaccard's symmetric measure misses.
+    * Same stored-signature + candidate-restricted topology. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val (cand, sh) = candidateShingles(s, dir, minMatches = 4)
+    graft.api.Dedup.containmentVerify(sh, "doc_id", cand, threshold = 0.7)
+      .orderBy(col("containment").desc, col("d1").asc, col("d2").asc)
       .limit(100)
   }
 
@@ -251,7 +273,8 @@ object TextOps extends graft.QueryModule {
     "q_text_lexicon_score" -> textLexiconScore,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
-    "q_dedup_jaccard" -> dedupJaccard)
+    "q_dedup_jaccard" -> dedupJaccard,
+    "q_dedup_containment" -> dedupContainment)
 
   def oracleSql: Map[String, String] = Map(
     "q_text_tokenize" ->
@@ -365,7 +388,31 @@ object TextOps extends graft.QueryModule {
         |JOIN sizes z1 ON z1.doc_id = d1
         |JOIN sizes z2 ON z2.doc_id = d2
         |WHERE CAST(inter AS DOUBLE) / (z1.sz + z2.sz - inter) >= 0.5
-        |ORDER BY jaccard DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin)
+        |ORDER BY jaccard DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH sh AS ($shinglesSql),
+        |shid AS (SELECT doc_id, shingle, ${TextOps.polyHashSql("shingle")} AS sid FROM sh),
+        |perms(perm, a, b) AS (VALUES ${TextOps.permValuesSql}),
+        |sig AS (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
+        |        FROM shid CROSS JOIN perms
+        |        GROUP BY doc_id, perm),
+        |cand AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2
+        |         FROM sig s1 JOIN sig s2
+        |           ON s1.perm = s2.perm AND s1.minh = s2.minh AND s1.doc_id < s2.doc_id
+        |         GROUP BY d1, d2 HAVING COUNT(*) >= 4),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.d1, c.d2, COUNT(*) AS inter
+        |          FROM cand c
+        |          JOIN sh a ON a.doc_id = c.d1
+        |          JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+        |          GROUP BY c.d1, c.d2)
+        |SELECT d1, d2, inter,
+        |  ROUND(CAST(inter AS DOUBLE) / LEAST(z1.sz, z2.sz), 6) AS containment
+        |FROM inter
+        |JOIN sizes z1 ON z1.doc_id = d1
+        |JOIN sizes z2 ON z2.doc_id = d2
+        |WHERE CAST(inter AS DOUBLE) / LEAST(z1.sz, z2.sz) >= 0.7
+        |ORDER BY containment DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin)
 
   /** Horner polynomial hash of a string column, base 131 mod 1e9+7 —
     * the engine-neutral replacement for dense_rank vocabulary ids

@@ -67,6 +67,21 @@ class ExtraSpec extends AnyFunSuite {
     p.unpersist()
   }
 
+  test("containment dominates jaccard on every shared candidate pair") {
+    // |A∩B|/min >= |A∩B|/|A∪B| always; equality iff A ⊆ B or B ⊆ A
+    val j = run("q_dedup_jaccard").select("d1", "d2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val c = run("q_dedup_containment")
+      .select("d1", "d2", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c.nonEmpty)
+    val shared = j.keySet & c.keySet
+    assert(shared.nonEmpty)
+    shared.foreach { k =>
+      assert(c(k) >= j(k) - 1e-6, s"$k: containment=${c(k)} jaccard=${j(k)}")
+    }
+  }
+
   test("vocab ids are dense 1..n with non-increasing counts") {
     val v = run("q_text_vocab").collect()
     assert(v.nonEmpty && v.length <= 1000)
