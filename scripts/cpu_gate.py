@@ -36,6 +36,13 @@ def main():
     if not cpu:
         print("FAIL: bench file has no per-query cpu map")
         return 1
+    if all(v == 0 for v in cpu.values()):
+        # Bench reports cpu=0 everywhere when the JVM lacks the com.sun
+        # OS bean — comparing zeros against budgets would neuter the
+        # gate exactly when it can't see anything (review r6).
+        print("FAIL: cpu map is all zeros (process-CPU unavailable in "
+              "this bench run) — gate cannot judge it")
+        return 1
     failures, warnings = [], []
     for name, got in sorted(cpu.items()):
         if name not in budgets:

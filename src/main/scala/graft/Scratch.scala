@@ -36,15 +36,21 @@ object Scratch {
         }
       })
 
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // same guarded cast as Bench (ADVICE r5): report 0 rather than die
+    // on a JVM without the com.sun bean
+    val procCpu: () => Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          () => math.max(b.getProcessCpuTime, 0L)
+        case _ => () => 0L
+      }
     def time(name: String)(f: => DataFrame): Unit = {
       // several reps: first run carries codegen, report all
       (1 to 4).foreach { i =>
-        val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime(); val c0 = procCpu()
         val n = f.count()
         val wall = (System.nanoTime() - t0) / 1e9
-        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        val cpu = (procCpu() - c0) / 1e9
         println(f"$name%-24s run$i wall=$wall%7.2f s  cpu=$cpu%7.2f s  rows=$n")
       }
     }

@@ -95,11 +95,18 @@ object Text {
           .as("token"))
       .groupBy(strataCol).agg(count(lit(1)).as("sum_tokens"),
         nd.as("vocab_size"))
+    // ppm numerators in DECIMAL(38,0): 1000000 * sum_chars overflows
+    // int64 for any stratum above ~9.2e12 chars (~9 TB of text) —
+    // real at the scale this profile advertises (review r6). The
+    // decimal `div` truncates like the integer one, so the values are
+    // bit-identical to the oracle's `//` wherever both fit.
     docStats.join(vocab, strataCol)
       .select(col(strataCol), col("n_docs"),
-        expr("(1000000 * sum_chars) div n_docs").as("avg_chars_ppm"),
+        expr("cast((1000000 * cast(sum_chars as decimal(38,0))) div n_docs" +
+          " as bigint)").as("avg_chars_ppm"),
         col("vocab_size"),
-        expr("(1000000 * sum_chars) div sum_tokens").as("chars_per_token_ppm"))
+        expr("cast((1000000 * cast(sum_chars as decimal(38,0))) div sum_tokens" +
+          " as bigint)").as("chars_per_token_ppm"))
   }
 
   /** Language ID by lexicon-hit voting: join the token table to a
@@ -366,7 +373,11 @@ object Dedup {
     * before the (doc, shingle) equi-join — no shingle self-join. */
   private def pairStats(sh: DataFrame, idCol: String,
       candidates: DataFrame): DataFrame = {
-    val cand = broadcast(candidates.select(col("d1"), col("d2")))
+    // distinct: a caller-supplied candidates frame with a repeated
+    // (d1, d2) row would count each intersecting shingle once per
+    // duplicate, inflating inter while sz1/sz2 stay fixed — jaccard
+    // could exceed 1.0 (review r6). Cheap: runs on the tiny pair set.
+    val cand = broadcast(candidates.select(col("d1"), col("d2")).distinct())
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val lhs = sh.select(col(idCol).as("d1"), col("shingle")).join(cand, "d1")
     val rhs = sh.select(col(idCol).as("d2"), col("shingle"))
@@ -729,8 +740,12 @@ object Sketch {
       .agg(expr(s"graft_freq_agg($itemCol, $maxMapSize)").as("sk"))
       .groupBy(coarse.map(col): _*)
       .agg(expr(s"graft_freq_merge_agg(sk, $maxMapSize)").as("sk"))
+      // _outer: a coarse group whose merged sketch is empty (all-null
+      // items) keeps its row with null rank/item/est instead of
+      // vanishing — matches hllRollup/kllRollup, which keep every
+      // group (review r6).
       .select(coarse.map(col) :+
-        posexplode(expr(s"graft_freq_topk(sk, $k)")): _*)
+        posexplode_outer(expr(s"graft_freq_topk(sk, $k)")): _*)
       .select(coarse.map(col) ++ Seq(
         (col("pos") + 1).cast("long").as("rank"),
         col("col.item").as("item"),

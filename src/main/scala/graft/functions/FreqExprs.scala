@@ -48,6 +48,9 @@ case class FreqSketchAgg(
   with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if !FreqExprs.validMapSize(maxMapSize) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_freq_agg maxMapSize must be a power of 2 >= 8, got $maxMapSize")
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_freq_agg expects STRING, got ${t.sql}")
@@ -103,6 +106,10 @@ case class FreqMergeAgg(
   with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if !FreqExprs.validMapSize(maxMapSize) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_freq_merge_agg maxMapSize must be a power of 2 >= 8, " +
+          s"got $maxMapSize")
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_freq_merge_agg expects BINARY, got ${t.sql}")
@@ -186,6 +193,13 @@ case class FreqTopK(left: Expression, right: Expression)
 }
 
 object FreqExprs {
+  /** DataSketches requires maxMapSize to be a power of 2 and >= 8;
+    * validating at analysis time turns the runtime
+    * SketchesArgumentException (an opaque stage failure) into a
+    * type-check error like the functions' other contracts (review r6). */
+  private[functions] def validMapSize(m: Int): Boolean =
+    m >= 8 && (m & (m - 1)) == 0
+
   /** Idempotent per-session registration (same rationale as
     * SketchExprs.ensureRegistered). graft_freq_agg /
     * graft_freq_merge_agg take an optional second literal arg:

@@ -178,19 +178,6 @@ object TextOps extends graft.QueryModule {
     out
   }
 
-  /** Exact Jaccard on MinHash band candidates — SURVEY §2.8's "exact
-    * Jaccard on candidate pairs (verify MinHash)", the second stage of
-    * the two-stage near-dup pipeline, in its production shape: the
-    * band join proposes pairs from the STORED full-corpus signatures
-    * ([[ensureFullSigs]] — at ingest a pipeline signs each doc once;
-    * re-deriving signatures per verify query re-pays the corpus-wide
-    * shingle explode, ~2/3 of this query's r5 CPU), and the exact
-    * intersection count re-shingles ONLY docs that appear in some
-    * candidate pair (broadcast semi-join): the explode is proportional
-    * to the near-dup rate, not the corpus — at 100 TB, re-shingling
-    * everything to verify <1% of it would dwarf the band join. Same
-    * arithmetic hashing as q_dedup_minhash, so the oracle twin stays
-    * pure SQL (VERDICT r5 #2: ~9 -> <=5 CPU-s). */
   /** Band candidates (from the stored signatures) + the shingles of
     * exactly the docs they mention — the shared front half of the
     * verify-family queries. Both frames localCheckpoint (eager): the
@@ -211,6 +198,19 @@ object TextOps extends graft.QueryModule {
     (cand, sh)
   }
 
+  /** Exact Jaccard on MinHash band candidates — SURVEY §2.8's "exact
+    * Jaccard on candidate pairs (verify MinHash)", the second stage of
+    * the two-stage near-dup pipeline, in its production shape: the
+    * band join proposes pairs from the STORED full-corpus signatures
+    * ([[ensureFullSigs]] — at ingest a pipeline signs each doc once;
+    * re-deriving signatures per verify query re-pays the corpus-wide
+    * shingle explode, ~2/3 of this query's r5 CPU), and the exact
+    * intersection count re-shingles ONLY docs that appear in some
+    * candidate pair (broadcast semi-join): the explode is proportional
+    * to the near-dup rate, not the corpus — at 100 TB, re-shingling
+    * everything to verify <1% of it would dwarf the band join. Same
+    * arithmetic hashing as q_dedup_minhash, so the oracle twin stays
+    * pure SQL (VERDICT r5 #2: ~9 -> <=5 CPU-s). */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val (cand, sh) = candidateShingles(s, dir, minMatches = 8)
     graft.api.Dedup.jaccardVerify(sh, "doc_id", cand, threshold = 0.5)

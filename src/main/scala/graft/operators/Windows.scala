@@ -133,8 +133,13 @@ object Windows extends graft.QueryModule {
     Tables.events(s, dir)
       .withColumn("gap_us",
         unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd)))
+      // >= matches session_window's half-open [ts, ts+gap) semantics:
+      // an event exactly `gap` after its predecessor starts a NEW
+      // session in Structured Streaming (and in the q_stream_session
+      // oracle), so the batch twin must split there too (review r6 —
+      // a strict > disagreed at the exact-gap boundary).
       .withColumn("new_s",
-        when(col("gap_us").isNull || col("gap_us") > lit(gapUs), 1L)
+        when(col("gap_us").isNull || col("gap_us") >= lit(gapUs), 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("new_s")).over(wRun))
       .groupBy("user_id", "session_seq")
@@ -229,7 +234,7 @@ object Windows extends graft.QueryModule {
         |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
         |FROM (
         |  SELECT user_id, ts, value,
-        |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |    SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
         |        THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
