@@ -200,6 +200,22 @@ object ExtraText extends graft.QueryModule {
       .orderBy("vocab_id")
   }
 
+  /** Token-id encoding (the tokenized-export step): every token of
+    * every doc mapped to its [[textVocab]] id, keeping the token's
+    * 1-based position — the (doc_id, ord, vocab_id) triples a training
+    * exporter packs into id sequences. OOV tokens (outside the top-1000
+    * vocab) get id 0. Scale shape: the vocab is <=1000 rows by
+    * construction, so the id assignment is a broadcast join onto the
+    * token projection — per-row work, no shuffle of the token stream. */
+  def textTokenIds(s: SparkSession, dir: String): DataFrame = {
+    val vocab = textVocab(s, dir).select("token", "vocab_id")
+    graft.api.Text.tokens(Tables.documents(s, dir), "doc_id", "text")
+      .join(broadcast(vocab), Seq("token"), "left")
+      .na.fill(0L, Seq("vocab_id"))
+      .select(col("doc_id"), col("ord"), col("token"), col("vocab_id"))
+      .orderBy("doc_id", "ord")
+  }
+
   /** Gopher-style repetition ratios per document — the repetition
     * family of LLM-corpus quality filters: duplicate-token fraction
     * (1 - distinct/total), most-frequent-token fraction, and
@@ -236,6 +252,7 @@ object ExtraText extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_vocab" -> textVocab,
+    "q_text_token_ids" -> textTokenIds,
     "q_text_repetition" -> textRepetition,
     "q_text_decontaminate" -> textDecontaminate,
     "q_text_langid" -> textLangid,
@@ -260,6 +277,21 @@ object ExtraText extends graft.QueryModule {
         |  FROM ($tokensSql) GROUP BY token
         |  ORDER BY cnt DESC, token ASC LIMIT 1000)
         |ORDER BY vocab_id""".stripMargin,
+    "q_text_token_ids" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(s AS BIGINT) AS ord, tokens[s] AS token
+        |  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens)+1)) AS s
+        |        FROM (SELECT doc_id, str_split(lower(text), ' ') AS tokens
+        |              FROM documents))
+        |  WHERE tokens[s] <> ''),
+        |vocab AS (
+        |  SELECT token, CAST(ROW_NUMBER() OVER
+        |      (ORDER BY cnt DESC, token ASC) AS BIGINT) AS vocab_id
+        |  FROM (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+        |        ORDER BY cnt DESC, token ASC LIMIT 1000))
+        |SELECT t.doc_id, t.ord, t.token, COALESCE(v.vocab_id, 0) AS vocab_id
+        |FROM tok t LEFT JOIN vocab v USING (token)
+        |ORDER BY doc_id, ord""".stripMargin,
     "q_text_repetition" ->
       s"""WITH uni AS (
         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,

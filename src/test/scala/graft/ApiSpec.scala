@@ -453,4 +453,18 @@ class ApiSpec extends AnyFunSuite {
       assert(n == 3 && math.abs(est - 150L) <= 5, s"est=$est n=$n")
     }
   }
+
+  test("jaccardVerify is immune to duplicated candidate rows (review r6)") {
+    val sp = spark
+    import sp.implicits._
+    val sh = api.Text.shingles(docs, "id", "body", 3)
+    val once = Seq((1L, 2L)).toDF("d1", "d2")
+    val dup = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("d1", "d2")
+    val a = api.Dedup.jaccardVerify(sh, "id", once, 0.0).collect()
+    val b = api.Dedup.jaccardVerify(sh, "id", dup, 0.0).collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+    // docs 1 and 2 are exact dups: jaccard must be exactly 1.0, which
+    // the pre-fix duplicate inflation would have pushed above 1
+    assert(a.head.getDouble(3) == 1.0)
+  }
 }
