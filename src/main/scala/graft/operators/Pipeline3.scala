@@ -27,12 +27,12 @@ object Pipeline3 extends graft.QueryModule {
     * agg partitioned by node, rounds = component diameter, tiny for
     * near-dup cliques). No global sort, no driver-side graph. */
   def dedupCluster(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint (eager): minhashCandidates band-joins sig with
-    // itself — materialize the signature pipeline once per query, not
-    // once per join branch (same pattern as dedupMinhash).
-    val sig = Dedup.minhashSignatures(
-        TextOps.shingles(s, dir), "doc_id", TextOps.permTable)
-      .localCheckpoint(true)
+    // signatures come from the STORED full-corpus frame (r6 — the
+    // same one-time ingest product q_dedup_jaccard reads; identical
+    // arithmetic values, so the oracle is unchanged). Before, this
+    // query re-ran the corpus-wide shingle explode + 16-perm agg that
+    // the store already holds.
+    val sig = s.read.parquet(TextOps.ensureFullSigs(s, dir))
     val pairs = Dedup.minhashCandidates(sig, "doc_id", minMatches = 8)
       .select("d1", "d2")
     Dedup.connectedComponents(pairs, "d1", "d2")

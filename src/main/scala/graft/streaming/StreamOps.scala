@@ -37,6 +37,28 @@ object StreamOps extends graft.QueryModule {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"))
 
+  /** Streaming heavy hitters: top-5 props."k" values per 6 h tumbling
+    * window via the mergeable frequent-items sketch (functions
+    * .FreqExprs). The sketch is a TypedImperativeAggregate, so each
+    * micro-batch's partial sketches MERGE into the window's state — the
+    * same mergeable-state property HLL/KLL rely on, here giving
+    * bounded per-window state for a top-k over arbitrary-cardinality
+    * items. EXACT regime on the fixture (~100 distinct values vs
+    * maxMapSize 256), so the batch twin is oracle-checkable against
+    * exact counts; rank ties break (est desc, value asc). */
+  def freqTopk(events: DataFrame): DataFrame = {
+    graft.functions.FreqExprs.ensureRegistered(events.sparkSession)
+    events
+      .withColumn("kval", get_json_object(col("props"), "$.k"))
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(expr("graft_freq_agg(kval, 256)").as("sk"))
+      .select(col("window.start").as("window_start"),
+        posexplode(expr("graft_freq_topk(sk, 5)")))
+      .select(col("window_start"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("kval"), col("col.est").as("est"))
+  }
+
   /** Session windows per user, 30 min gap; session end = last ts + gap. */
   def session(events: DataFrame): DataFrame =
     events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -90,9 +112,26 @@ object StreamOps extends graft.QueryModule {
     "q_stream_dedup" -> ((s, d) => dedup(ev(s, d))
       .orderBy("user_id", "event_type", "hour_start")),
     "q_stream_stateful_funnel" -> ((s, d) => funnel(ev(s, d))
-      .orderBy("user_id")))
+      .orderBy("user_id")),
+    "q_stream_freq_topk" -> ((s, d) => freqTopk(ev(s, d))
+      .orderBy("window_start", "rank")))
 
   def oracleSql: Map[String, String] = Map(
+    "q_stream_freq_topk" ->
+      """SELECT window_start, CAST(rn AS BIGINT) AS rank, kval, cnt AS est
+        |FROM (
+        |  SELECT window_start, kval, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY window_start
+        |      ORDER BY COUNT(*) DESC, kval ASC) AS rn
+        |  FROM (
+        |    SELECT make_timestamp(
+        |        (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 * 1000000)
+        |        AS window_start,
+        |      json_extract_string(props, '$.k') AS kval
+        |    FROM events)
+        |  GROUP BY window_start, kval)
+        |WHERE rn <= 5
+        |ORDER BY window_start, rank""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS cnt,

@@ -22,6 +22,10 @@ case class FState(s: Option[Long], c: Option[Long], p: Option[Long])
 /** A document row for the streaming incremental-dedup twin. */
 case class Doc(doc_id: Long, text: String)
 
+/** An event row carrying props, for the streaming heavy-hitters twin
+  * (the shared Ev sample drops props). */
+case class EvJ(event_id: Long, ts: Timestamp, props: String)
+
 /** Spark 4 transformWithState processor: per-user running (count, max)
   * kept in a ValueState — the modern arbitrary-state API (StatefulProcessor
   * + typed state handles + RocksDB store), successor to
@@ -101,6 +105,31 @@ class StreamingSpec extends AnyFunSuite {
     val data = eventsSample()
     val batch = streaming.StreamOps.dedup(Tables.events(spark, dir))
     assertSame(throughStream("t_dedup", data, streaming.StreamOps.dedup), batch)
+  }
+
+  test("freq-sketch heavy hitters: stream == batch on complete data") {
+    // the sketch agg's state MERGES across micro-batches (the
+    // TypedImperativeAggregate contract); in the exact regime the
+    // merged counts are order-independent, so two feeding batches must
+    // land exactly on the batch twin.
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val data = Tables.events(spark, dir).orderBy("ts", "event_id")
+      .collect().map(r => EvJ(r.getAs[Long]("event_id"),
+        r.getAs[Timestamp]("ts"), r.getAs[String]("props"))).toSeq
+    val mem = MemoryStream[EvJ]
+    val (a, b) = data.splitAt(data.size / 2)
+    val q = streaming.StreamOps.freqTopk(mem.toDF()).writeStream
+      .format("memory").queryName("t_freq_topk")
+      .outputMode(OutputMode.Complete()).start()
+    val streamed = try {
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      sp.table("t_freq_topk").cache()
+    } finally q.stop()
+    assertSame(streamed,
+      streaming.StreamOps.freqTopk(Tables.events(spark, dir)))
   }
 
   test("stream-stream interval join == batch attribution pairs") {
