@@ -125,21 +125,31 @@ object Windows extends graft.QueryModule {
     * partitioned by user_id — at 100 TB each user's event stream sorts
     * within its partition, no global sort, and the agg reuses the
     * window's partitioning (no second shuffle). */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeEvents(Tables.events(s, dir))
+
+  /** Parametric form over any (user_id, event_id, ts, value) frame —
+    * split out so the exact-gap boundary rule is unit-testable with
+    * synthetic events (the fixture happens to contain no exact-30-min
+    * gap, so the batch==stream equality test alone cannot pin it). */
+  private[graft] def sessionizeEvents(events: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapUs = 30L * 60 * 1000 * 1000
-    Tables.events(s, dir)
+    events
       .withColumn("gap_us",
         unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd)))
-      // >= matches session_window's half-open [ts, ts+gap) semantics:
-      // an event exactly `gap` after its predecessor starts a NEW
-      // session in Structured Streaming (and in the q_stream_session
-      // oracle), so the batch twin must split there too (review r6 —
-      // a strict > disagreed at the exact-gap boundary).
+      // STRICT >: session_window MERGES an event arriving exactly
+      // `gap` after its predecessor (empirically pinned by the
+      // synthetic exact-gap test in ExtraSpec — Spark's merge
+      // condition is inclusive of the window end), so the batch twin
+      // splits only when the gap EXCEEDS the threshold. An r6 review
+      // pass argued for >= from the q_stream_session oracle's
+      // (then-untested) boundary; the synthetic test proved the
+      // opposite and both oracles now use > as well.
       .withColumn("new_s",
-        when(col("gap_us").isNull || col("gap_us") >= lit(gapUs), 1L)
+        when(col("gap_us").isNull || col("gap_us") > lit(gapUs), 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("new_s")).over(wRun))
       .groupBy("user_id", "session_seq")
@@ -234,7 +244,7 @@ object Windows extends graft.QueryModule {
         |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
         |FROM (
         |  SELECT user_id, ts, value,
-        |    SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+        |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
         |        THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -145,7 +145,7 @@ object StreamOps extends graft.QueryModule {
     "q_stream_session" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
         |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

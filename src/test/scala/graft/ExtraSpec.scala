@@ -102,6 +102,35 @@ class ExtraSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("sessionize merges at EXACTLY the 30-min gap, splits just past it") {
+    // session_window's merge is INCLUSIVE of the window end: an event
+    // arriving exactly `gap` after its predecessor is MERGED into the
+    // session (empirically pinned here — an r6 review claimed the
+    // opposite from the then-untested oracle boundary). The fixture
+    // has no exact-gap pair, so pin it with synthetic events:
+    // e2 exactly 30 min after e1 (merged), e3 30 min + 1 s after e2
+    // (new session).
+    val sp = spark
+    import sp.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(us: Long) = new java.sql.Timestamp(t0.getTime + us / 1000)
+    val gapUs = 30L * 60 * 1000 * 1000
+    val ev = Seq(
+      (1L, 1L, t0, 1.0),
+      (2L, 1L, plus(gapUs), 1.0),
+      (3L, 1L, plus(2 * gapUs + 1000000L), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val sessions = operators.Windows.sessionizeEvents(ev)
+      .select("session_seq", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sessions == Set((1L, 2L), (2L, 1L)), sessions)
+    // and session_window agrees on the same synthetic frame — the
+    // equivalence the batch twin exists to preserve
+    val sw = streaming.StreamOps.session(ev)
+      .select("n_events").collect().map(_.getLong(0)).toSet
+    assert(sw == Set(2L, 1L), sw)
+  }
+
   test("batch sessionize equals streaming session_window on boundaries") {
     // same 30-min gap rule: (user, start, n_events) sets must coincide
     val batch = run("q_win_sessionize")
