@@ -354,7 +354,34 @@ object VectorOps extends graft.QueryModule {
       .orderBy("reg_param")
   }
 
+  /** PCA helper: variance-explained profile of the top-8 principal
+    * components of the 64-dim embeddings — the dimensionality check a
+    * training pipeline runs before deciding a projection size. Output:
+    * (pc, var_ppm, cum_var_ppm) as exact ppm integers derived from the
+    * model's explainedVariance (stable to well beyond ppm on this
+    * fixture; determinism pinned by TextVectorSpec, monotone decrease
+    * + cum <= 1e6 asserted). Scale: spark.ml PCA aggregates a 64x64
+    * Gramian tree-wise (state is dims^2, independent of row count) and
+    * SVDs it on the driver — the standard tall-skinny shape; only the
+    * projection (not fit) touches every row. NO oracle (iterative
+    * eigensolve; DuckDB has no SVD). */
+  def mlPca(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    val feats = rawFeats(s, dir)
+    val model = new PCA().setK(8).setInputCol("raw").setOutputCol("pc")
+      .fit(feats)
+    val ev = model.explainedVariance.toArray
+    val sp = s
+    import sp.implicits._
+    ev.zipWithIndex.map { case (v, i) =>
+      (i + 1L, math.round(v * 1e6),
+        math.round(ev.take(i + 1).sum * 1e6))
+    }.toSeq.toDF("pc", "var_ppm", "cum_var_ppm")
+      .orderBy("pc")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_pca" -> mlPca,
     "q_ml_pipeline_scaler_lr" -> mlPipelineScalerLr,
     "q_sim_cosine_topk" -> simCosineTopk,
     "q_sim_lsh_bucketed" -> simLshBucketed,

@@ -156,4 +156,16 @@ class TextVectorSpec extends AnyFunSuite {
     assert(means.forall(r => math.abs(r.getDouble(1)) < 0.01))
     sc.unpersist()
   }
+
+  test("pca: deterministic, variance monotone non-increasing, cum <= 1") {
+    val a = run("q_ml_pca").collect().map(_.toSeq)
+    val b = run("q_ml_pca").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "PCA profile must be run-to-run stable")
+    assert(a.length == 8)
+    val vars = a.map(_(1).asInstanceOf[Long])
+    assert(vars.zip(vars.tail).forall { case (x, y) => x >= y }, vars.toSeq)
+    val cums = a.map(_(2).asInstanceOf[Long])
+    assert(cums.last <= 1000000L && cums.head == vars.head)
+    assert(vars.head > 0, "top component must explain some variance")
+  }
 }
