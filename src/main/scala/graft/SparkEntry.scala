@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Misc,
     operators.Pipeline2,
     operators.Pipeline3,
+    operators.Pipeline4,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

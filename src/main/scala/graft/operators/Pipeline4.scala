@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.16 round-6 additions: the pipeline operators a training-data
+  * engineer reaches for next after dedup/mixture landed in r5 —
+  * chunk-level dedup (C4-style boilerplate removal), ordered-funnel
+  * conversion, PMI collocations (phrase mining before tokenizer
+  * training), temperature-scaled mixture (sqrt rebalance), and a PSI
+  * drift profile (new-shard data-quality gate). All five have exact
+  * DuckDB oracle twins.
+  */
+object Pipeline4 extends graft.QueryModule {
+
+  /** Chunk-level exact dedup over documents, 32-word chunks: per doc,
+    * how many of its chunks are first occurrences corpus-wide
+    * (graft.api.Dedup.chunkDedup — md5 shuffle key, row_number
+    * window, one agg; no pair space). */
+  def dedupChunk(s: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text", 32)
+      .orderBy("doc_id")
+
+  /** Ordered funnel view -> click -> purchase over events with
+    * first-qualifying-time semantics (graft.api.Events.funnel). */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.api.Events.funnel(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("step")
+
+  /** PMI collocations over the document corpus: top-50 adjacent
+    * bigrams by count (integer-keyed cut), PMI as the scored column
+    * (graft.api.Text.collocations). */
+  def textCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.api.Text.collocations(Tables.documents(s, dir), "doc_id", "text",
+      minCount = 3L, k = 50)
+
+  /** Temperature-scaled (alpha=0.5) language mixture of documents,
+    * total budget 300 (graft.api.Sample.temperatureCap). */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.api.Sample.temperatureCap(Tables.documents(s, dir), "lang",
+        "doc_id", total = 300L)
+      .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rn"))
+      .orderBy("lang", "doc_id")
+
+  /** PSI drift decomposition of events.value per event_type vs the
+    * pooled distribution, 10 equal-width buckets on integer cents
+    * (graft.api.Profile.drift). */
+  def profileDrift(s: SparkSession, dir: String): DataFrame =
+    graft.api.Profile.drift(Tables.events(s, dir), "event_type", "value", 10)
+      .orderBy("side", "bucket")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_chunk" -> dedupChunk,
+    "q_events_funnel" -> eventsFunnel,
+    "q_text_collocations" -> textCollocations,
+    "q_sample_temperature" -> sampleTemperature,
+    "q_profile_drift" -> profileDrift)
+
+  /** Tokens with the raw-split ordinal (gaps where empty tokens were
+    * dropped) — must match graft.api.Text.tokens' pos+1 numbering. */
+  private val tokOrdSql =
+    """SELECT doc_id, s AS ord, tokens[s] AS token
+      |FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens)+1)) AS s
+      |      FROM (SELECT doc_id, str_split(lower(text), ' ') AS tokens
+      |            FROM documents))
+      |WHERE tokens[s] <> ''""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_chunk" ->
+      s"""WITH tok AS ($tokOrdSql),
+        |ch AS (SELECT doc_id, (ord - 1) // 32 AS chunk_idx,
+        |         string_agg(token, ' ' ORDER BY ord) AS chunk_text
+        |       FROM tok GROUP BY doc_id, chunk_idx),
+        |r AS (SELECT doc_id, chunk_idx, row_number() OVER (
+        |        PARTITION BY md5(chunk_text)
+        |        ORDER BY doc_id, chunk_idx) AS rk
+        |      FROM ch),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_chunks,
+        |          SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_kept
+        |        FROM r GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST((1000000 * n_kept) // n_chunks AS BIGINT) AS kept_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |       GROUP BY e.user_id),
+        |c AS (SELECT 1 AS step, 'view' AS event_type,
+        |        (SELECT COUNT(*) FROM s1) AS users
+        |      UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, event_type,
+        |  CAST(users AS BIGINT) AS users,
+        |  CAST(COALESCE((1000000 * users) // LAG(users) OVER (ORDER BY step),
+        |    1000000) AS BIGINT) AS conv_from_prev_ppm
+        |FROM c ORDER BY step""".stripMargin,
+    "q_text_collocations" ->
+      s"""WITH tok AS ($tokOrdSql),
+        |pr AS (SELECT doc_id, token AS w1,
+        |         lead(token) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        |       FROM tok),
+        |pc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM pr
+        |       WHERE w2 IS NOT NULL GROUP BY w1, w2),
+        |uni AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT COUNT(*) AS n_tok FROM tok),
+        |bt AS (SELECT SUM(pair_count) AS n_pair FROM pc)
+        |SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+        |  ROUND(LN((CAST(pair_count AS DOUBLE) * n_tok * n_tok)
+        |    / (CAST(n_pair AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+        |FROM pc JOIN uni u1 ON pc.w1 = u1.token
+        |JOIN uni u2 ON pc.w2 = u2.token
+        |CROSS JOIN tot CROSS JOIN bt
+        |WHERE pair_count >= 3
+        |ORDER BY pair_count DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY lang),
+        |w AS (SELECT lang, ns, CAST(FLOOR(SQRT(ns)) AS BIGINT) AS wgt FROM n),
+        |sw AS (SELECT SUM(wgt) AS sum_w FROM w),
+        |k AS (SELECT lang, LEAST(ns, (300 * wgt) // sum_w) AS ks
+        |      FROM w CROSS JOIN sw),
+        |r AS (SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY (doc_id * 1103515245 + 12345) % 1000000007 ASC,
+        |                 doc_id ASC) AS rn
+        |      FROM documents)
+        |SELECT r.lang, doc_id, CAST(rn AS BIGINT) AS rn
+        |FROM r JOIN k ON r.lang = k.lang AND rn <= ks
+        |ORDER BY r.lang, doc_id""".stripMargin,
+    "q_profile_drift" ->
+      """WITH c AS (SELECT event_type AS side,
+        |             CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |mm AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM c),
+        |b AS (SELECT side, ((cents - mn) * 10) // (mx - mn + 1) AS bucket
+        |      FROM c CROSS JOIN mm),
+        |nsb0 AS (SELECT side, bucket, COUNT(*) AS n_raw FROM b
+        |         GROUP BY side, bucket),
+        |grid AS (SELECT s.side, g.bucket
+        |         FROM (SELECT DISTINCT side FROM nsb0) s
+        |         CROSS JOIN (SELECT bucket FROM range(10) t(bucket)) g),
+        |dense AS (SELECT g.side, g.bucket, COALESCE(n_raw, 0) AS n_sb
+        |          FROM grid g LEFT JOIN nsb0
+        |          ON g.side = nsb0.side AND g.bucket = nsb0.bucket),
+        |ns AS (SELECT side, SUM(n_sb) AS n_s FROM dense GROUP BY side),
+        |nb AS (SELECT bucket, SUM(n_sb) AS n_b FROM dense GROUP BY bucket),
+        |t AS (SELECT SUM(n_sb) AS n FROM dense)
+        |SELECT d.side, d.bucket, CAST(d.n_sb AS BIGINT) AS n,
+        |  ROUND(((CAST(n_sb AS DOUBLE) + 1) / (n_s + 10)
+        |      - (CAST(n_b AS DOUBLE) + 1) / (n + 10))
+        |    * LN(((CAST(n_sb AS DOUBLE) + 1) / (n_s + 10))
+        |      / ((CAST(n_b AS DOUBLE) + 1) / (n + 10))), 6) AS psi_contrib
+        |FROM dense d JOIN ns ON d.side = ns.side
+        |JOIN nb ON d.bucket = nb.bucket CROSS JOIN t
+        |ORDER BY d.side, d.bucket""".stripMargin)
+}

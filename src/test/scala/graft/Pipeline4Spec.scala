@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract tests for the round-6 pipeline additions (chunk dedup,
+  * funnel, collocations, temperature mixture, PSI drift) on SYNTHETIC
+  * frames — fixture correctness is covered by the oracle gate; this
+  * ring pins the API semantics a user relies on. */
+class Pipeline4Spec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  test("Dedup.chunkDedup: first occurrence survives, repeats dropped") {
+    val sp = spark
+    import sp.implicits._
+    // 4-word chunks; doc 1 = A B (two distinct chunks); doc 2 repeats
+    // chunk A then adds its own C; doc 3 is exactly chunk A.
+    val a = "w1 w2 w3 w4"
+    val b = "x1 x2 x3 x4"
+    val c = "y1 y2 y3 y4"
+    val docs = Seq((1L, s"$a $b"), (2L, s"$a $c"), (3L, a))
+      .toDF("id", "body")
+    val r = api.Dedup.chunkDedup(docs, "id", "body", 4)
+      .orderBy("id").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 2L, 1L)) // n_chunks
+    assert(r.map(_.getLong(2)).toSeq == Seq(2L, 1L, 0L)) // n_kept
+    assert(r(1).getLong(3) == 500000L)                   // kept_ppm
+  }
+
+  test("Events.funnel: strictly-ordered first-qualifying semantics") {
+    val sp = spark
+    import sp.implicits._
+    def t(s: Int) = new Timestamp(s * 1000L)
+    // u1 completes a->b->c in order; u2 does b before a (b must NOT
+    // count, its only b is before its first a); u3 stops after a->b;
+    // u4 never does a.
+    val ev = Seq(
+      (1L, t(1), "a"), (1L, t(2), "b"), (1L, t(3), "c"),
+      (2L, t(5), "b"), (2L, t(6), "a"),
+      (3L, t(1), "a"), (3L, t(4), "b"),
+      (4L, t(2), "b"), (4L, t(3), "c"))
+      .toDF("user", "ts", "etype")
+    val r = api.Events.funnel(ev, "user", "ts", "etype", Seq("a", "b", "c"))
+      .orderBy("step").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(3L, 2L, 1L)) // users per step
+    assert(r(0).getLong(3) == 1000000L)
+    assert(r(1).getLong(3) == 666666L) // 2/3 of step-1 users
+    assert(r(2).getLong(3) == 500000L)
+  }
+
+  test("Text.collocations: always-adjacent pair beats half-adjacent pair") {
+    val sp = spark
+    import sp.implicits._
+    // "zz qq" adjacent in every doc; "aa bb" adjacent in half the docs
+    // with the same unigram counts — PMI must rank them accordingly:
+    // pmi(zz,qq) - pmi(aa,bb) = ln(20/10), counts cancel.
+    val docs = (1 to 20).map { i =>
+      val mid = if (i % 2 == 0) "aa bb cc dd" else "aa cc bb dd"
+      (i.toLong, s"zz qq $mid")
+    }.toDF("id", "body")
+    val r = api.Text.collocations(docs, "id", "body", minCount = 3L, k = 50)
+      .collect()
+    val byPair = r.map(x => ((x.getString(0), x.getString(1)),
+      x.getDouble(3))).toMap
+    assert(byPair.contains(("zz", "qq")) && byPair.contains(("aa", "bb")))
+    val diff = byPair(("zz", "qq")) - byPair(("aa", "bb"))
+    assert(math.abs(diff - math.log(2.0)) < 1e-3,
+      s"PMI gap must be ln(2): $byPair")
+  }
+
+  test("Sample.temperatureCap: sqrt quotas, deterministic, nested order") {
+    val sp = spark
+    import sp.implicits._
+    // strata sizes 100 / 25: raw ratio 4:1, sqrt ratio 2:1 — the tail
+    // stratum gets upweighted relative to proportional sampling.
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 125).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val r = api.Sample.temperatureCap(df, "g", "id", total = 30L)
+    val counts = r.groupBy("g").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // wgt = floor(sqrt(100)) = 10, floor(sqrt(25)) = 5, sum 15
+    // k(big) = 30*10 div 15 = 20; k(small) = 30*5 div 15 = 10
+    assert(counts == Map("big" -> 20L, "small" -> 10L))
+    val again = api.Sample.temperatureCap(df, "g", "id", total = 30L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == r.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("Profile.drift: matching side ~0, shifted side dominates") {
+    val sp = spark
+    import sp.implicits._
+    // side "same" mirrors the pooled shape; side "hi" is shifted up.
+    val rows = (1 to 200).map(i => ("same", (i % 100) * 1.0)) ++
+      (1 to 200).map(i => ("hi", 50.0 + (i % 50)))
+    val df = rows.toDF("s", "v")
+    val r = api.Profile.drift(df, "s", "v", 10).collect()
+    val bySide = r.groupBy(_.getString(0))
+      .map { case (k, v) => k -> v.map(x => math.abs(x.getDouble(3))).sum }
+    assert(bySide("hi") > bySide("same") * 2,
+      s"shifted side must carry the PSI mass: $bySide")
+    assert(r.length == 20) // dense 2 sides x 10 buckets
+  }
+}
