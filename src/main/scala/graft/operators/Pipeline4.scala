@@ -51,12 +51,20 @@ object Pipeline4 extends graft.QueryModule {
     graft.api.Profile.drift(Tables.events(s, dir), "event_type", "value", 10)
       .orderBy("side", "bucket")
 
+  /** Key-skew diagnostics on orders.o_custkey — max / exact-discrete
+    * p50/p99 group sizes, heaviest key, max/mean ppm
+    * (graft.api.Profile.keySkew: histogram + tiny broadcast self-join,
+    * no global sort). */
+  def profileSkew(s: SparkSession, dir: String): DataFrame =
+    graft.api.Profile.keySkew(Tables.orders(s, dir), "o_custkey")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_chunk" -> dedupChunk,
     "q_events_funnel" -> eventsFunnel,
     "q_text_collocations" -> textCollocations,
     "q_sample_temperature" -> sampleTemperature,
-    "q_profile_drift" -> profileDrift)
+    "q_profile_drift" -> profileDrift,
+    "q_profile_skew" -> profileSkew)
 
   /** Tokens with the raw-split ordinal (gaps where empty tokens were
     * dropped) — must match graft.api.Text.tokens' pos+1 numbering. */
@@ -159,5 +167,28 @@ object Pipeline4 extends graft.QueryModule {
         |      / ((CAST(n_b AS DOUBLE) + 1) / (n + 10))), 6) AS psi_contrib
         |FROM dense d JOIN ns ON d.side = ns.side
         |JOIN nb ON d.bucket = nb.bucket CROSS JOIN t
-        |ORDER BY d.side, d.bucket""".stripMargin)
+        |ORDER BY d.side, d.bucket""".stripMargin,
+    "q_profile_skew" ->
+      """WITH c AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders
+        |           GROUP BY o_custkey),
+        |d AS (SELECT cnt, COUNT(*) AS freq FROM c GROUP BY cnt),
+        |t AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows,
+        |        MAX(cnt) AS max_cnt FROM c),
+        |cum AS (SELECT a.cnt, SUM(b.freq) AS cumk FROM d a
+        |        JOIN d b ON b.cnt <= a.cnt GROUP BY a.cnt),
+        |p50 AS (SELECT MIN(cnt) AS p50_cnt FROM cum CROSS JOIN t
+        |        WHERE cumk >= (1 * n_keys + 2 - 1) // 2),
+        |p99 AS (SELECT MIN(cnt) AS p99_cnt FROM cum CROSS JOIN t
+        |        WHERE cumk >= (99 * n_keys + 100 - 1) // 100),
+        |tk AS (SELECT MIN(key) AS top_key FROM c CROSS JOIN t
+        |       WHERE cnt = max_cnt)
+        |SELECT CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(max_cnt AS BIGINT) AS max_cnt,
+        |  CAST(p50_cnt AS BIGINT) AS p50_cnt,
+        |  CAST(p99_cnt AS BIGINT) AS p99_cnt,
+        |  CAST(top_key AS BIGINT) AS top_key,
+        |  CAST((1000000 * max_cnt * n_keys) // n_rows AS BIGINT)
+        |    AS skew_ratio_ppm
+        |FROM t CROSS JOIN p50 CROSS JOIN p99 CROSS JOIN tk""".stripMargin)
 }

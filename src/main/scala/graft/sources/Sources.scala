@@ -78,6 +78,27 @@ object Sources extends graft.QueryModule {
     s.read.orc(out).orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Raw TEXT lines — the format raw corpora actually arrive in: one
+    * doc per line as `id<TAB>text`, written with .text() and re-read
+    * with spark.read.text + a split projection. Fixture docs are
+    * single-line, tab-free word streams, so the framing is lossless
+    * (a real ingest would escape or length-prefix). The oracle checks
+    * the written+read content against the source-of-truth parquet,
+    * like the other roundtrips. */
+  def textRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Store.scopedPath(s, dir, "text_roundtrip")
+    Store.writeOnce(s, out) {
+      Tables.documents(s, dir)
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(out)
+    }
+    s.read.text(out)
+      .select(
+        expr("CAST(split(value, '\t', 2)[0] AS BIGINT)").as("doc_id"),
+        expr("split(value, '\t', 2)[1]").as("text"))
+      .orderBy("doc_id")
+  }
+
   private val sampleSql =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
       |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts
@@ -89,7 +110,8 @@ object Sources extends graft.QueryModule {
     "q_scan_pruned" -> scanPruned,
     "q_source_csv_roundtrip" -> csvRoundtrip,
     "q_source_json_roundtrip" -> jsonRoundtrip,
-    "q_source_orc_roundtrip" -> orcRoundtrip)
+    "q_source_orc_roundtrip" -> orcRoundtrip,
+    "q_source_text_roundtrip" -> textRoundtrip)
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
@@ -103,5 +125,7 @@ object Sources extends graft.QueryModule {
     // written+read content against the source-of-truth parquet.
     "q_source_csv_roundtrip" -> sampleSql,
     "q_source_json_roundtrip" -> sampleSql,
-    "q_source_orc_roundtrip" -> sampleSql)
+    "q_source_orc_roundtrip" -> sampleSql,
+    "q_source_text_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id")
 }

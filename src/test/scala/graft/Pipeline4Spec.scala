@@ -102,4 +102,27 @@ class Pipeline4Spec extends AnyFunSuite {
       s"shifted side must carry the PSI mass: $bySide")
     assert(r.length == 20) // dense 2 sides x 10 buckets
   }
+
+  test("Profile.keySkew: exact discrete percentiles from the histogram") {
+    val sp = spark
+    import sp.implicits._
+    // group sizes: keys 1,2 -> 1 row; keys 3,4,5 -> 2 rows; key 6 -> 10.
+    // histogram {1:2, 2:3, 10:1}, cum {1->2, 2->5, 10->6};
+    // p50 = min cnt with cumk >= ceil(.5*6)=3 -> 2;
+    // p99 = min cnt with cumk >= ceil(.99*6)=6 -> 10.
+    val rows = Seq(1L, 2L).map((_, "x")) ++
+      Seq(3L, 4L, 5L).flatMap(k => Seq((k, "x"), (k, "y"))) ++
+      (1 to 10).map(_ => (6L, "z"))
+    val r = api.Profile.keySkew(rows.toDF("k", "pay"), "k").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(row.fieldIndex("n_keys")) == 6L)
+    assert(row.getLong(row.fieldIndex("n_rows")) == 18L)
+    assert(row.getLong(row.fieldIndex("max_cnt")) == 10L)
+    assert(row.getLong(row.fieldIndex("p50_cnt")) == 2L)
+    assert(row.getLong(row.fieldIndex("p99_cnt")) == 10L)
+    assert(row.getLong(row.fieldIndex("top_key")) == 6L)
+    // max/mean ppm = 1000000 * 10 * 6 div 18
+    assert(row.getLong(row.fieldIndex("skew_ratio_ppm")) == 3333333L)
+  }
 }
