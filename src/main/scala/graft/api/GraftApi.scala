@@ -647,6 +647,36 @@ object Ml {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("freq").desc, col(valueCol).asc)) - 1).cast("long"))
       .select(valueCol, "sidx")
+
+  /** LEAKAGE-SAFE train/val/test assignment: a doc's split is decided
+    * by its near-dup CLUSTER representative, not its own id, so two
+    * near-duplicate documents can never land in different splits (the
+    * eval-contamination failure mode a plain per-doc hash split has).
+    * `clusters` is any (nodeCol, labelCol) component assignment — e.g.
+    * Dedup.connectedComponents over MinHash candidate pairs; docs
+    * absent from it (singletons) represent themselves. The split is
+    * the same engine-neutral multiplicative hash as Sample.hashMod,
+    * applied to the representative: deterministic across engines,
+    * partitionings, and reruns, and a cluster member added TOMORROW
+    * joins the split its cluster was already assigned to. One equi-
+    * join against the (small) cluster map + a projection — the corpus
+    * never shuffles on anything but the join key.
+    * Output: input columns + rep + split. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      nodeCol: String = "node", labelCol: String = "label",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val cmap = clusters.select(col(nodeCol).as("__lss_node"),
+      col(labelCol).as("__lss_label"))
+    val bucket = pmod(col("rep") * lit(1103515245L) + lit(12345L),
+      lit(1000000007L)) % 100
+    df.join(cmap, col(idCol) === col("__lss_node"), "left")
+      .withColumn("rep", coalesce(col("__lss_label"), col(idCol)))
+      .drop("__lss_node", "__lss_label")
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }
 
 object Sample {

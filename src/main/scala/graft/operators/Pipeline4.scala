@@ -58,13 +58,30 @@ object Pipeline4 extends graft.QueryModule {
   def profileSkew(s: SparkSession, dir: String): DataFrame =
     graft.api.Profile.keySkew(Tables.orders(s, dir), "o_custkey")
 
+  /** Leakage-safe train/val/test split of documents: near-dup cluster
+    * members (same MinHash-candidate components as q_dedup_cluster,
+    * read from the stored signature frame) always share a split;
+    * singletons hash on their own id (graft.api.Ml.leakageSafeSplit,
+    * 80/10/10). */
+  def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val sig = s.read.parquet(TextOps.ensureFullSigs(s, dir))
+    val pairs = graft.api.Dedup.minhashCandidates(sig, "doc_id",
+      minMatches = 8).select("d1", "d2")
+    val cc = graft.api.Dedup.connectedComponents(pairs, "d1", "d2")
+    graft.api.Ml.leakageSafeSplit(
+        Tables.documents(s, dir).select("doc_id", "lang"), "doc_id", cc)
+      .select(col("doc_id"), col("lang"), col("rep"), col("split"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_chunk" -> dedupChunk,
     "q_events_funnel" -> eventsFunnel,
     "q_text_collocations" -> textCollocations,
     "q_sample_temperature" -> sampleTemperature,
     "q_profile_drift" -> profileDrift,
-    "q_profile_skew" -> profileSkew)
+    "q_profile_skew" -> profileSkew,
+    "q_split_leakage_safe" -> splitLeakageSafe)
 
   /** Tokens with the raw-split ordinal (gaps where empty tokens were
     * dropped) — must match graft.api.Text.tokens' pos+1 numbering. */
@@ -190,5 +207,35 @@ object Pipeline4 extends graft.QueryModule {
         |  CAST(top_key AS BIGINT) AS top_key,
         |  CAST((1000000 * max_cnt * n_keys) // n_rows AS BIGINT)
         |    AS skew_ratio_ppm
-        |FROM t CROSS JOIN p50 CROSS JOIN p99 CROSS JOIN tk""".stripMargin)
+        |FROM t CROSS JOIN p50 CROSS JOIN p99 CROSS JOIN tk""".stripMargin,
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
+        |            FROM (${TextOps.shinglesSql})),
+        |perms(perm, a, b) AS (VALUES ${TextOps.permValuesSql}),
+        |sig AS (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
+        |        FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+        |pairs AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2
+        |          FROM sig s1 JOIN sig s2
+        |            ON s1.perm = s2.perm AND s1.minh = s2.minh
+        |           AND s1.doc_id < s2.doc_id
+        |          GROUP BY d1, d2 HAVING COUNT(*) >= 8),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+        |  WHERE w.label < e.b),
+        |cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+        |       FROM walk GROUP BY node),
+        |r AS (SELECT d.doc_id, d.lang,
+        |        COALESCE(cc.cluster_id, d.doc_id) AS rep
+        |      FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+        |SELECT doc_id, lang, rep,
+        |  CASE WHEN (rep * 1103515245 + 12345) % 1000000007 % 100 < 80
+        |         THEN 'train'
+        |       WHEN (rep * 1103515245 + 12345) % 1000000007 % 100 < 90
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin)
 }

@@ -125,4 +125,35 @@ class Pipeline4Spec extends AnyFunSuite {
     // max/mean ppm = 1000000 * 10 * 6 div 18
     assert(row.getLong(row.fieldIndex("skew_ratio_ppm")) == 3333333L)
   }
+
+  test("Ml.leakageSafeSplit: cluster members share a split; singletons hash") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 400L).map(i => (i, s"doc$i")).toDF("id", "body")
+    // two planted clusters: {3, 250, 399} labeled 3 and {10, 11} labeled 10
+    val clusters = Seq((3L, 3L), (250L, 3L), (399L, 3L), (10L, 10L),
+      (11L, 10L)).toDF("node", "label")
+    val r = api.Ml.leakageSafeSplit(docs, "id", clusters)
+    // invariant: no rep maps to more than one split
+    val spans = r.groupBy("rep")
+      .agg(countDistinct("split").as("n")).where(col("n") > 1).count()
+    assert(spans == 0L)
+    // planted cluster members share their representative's split
+    val byId = r.select("id", "rep", "split").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(Seq(3L, 250L, 399L).map(byId).distinct.size == 1)
+    assert(byId(250L)._1 == 3L)
+    assert(Seq(10L, 11L).map(byId).distinct.size == 1)
+    // singleton reps are their own id; all three splits are populated
+    assert(byId(42L)._1 == 42L)
+    val sizes = r.groupBy("split").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(sizes("train") > sizes("val") && sizes("train") > sizes("test"))
+    // deterministic across reruns
+    val again = api.Ml.leakageSafeSplit(docs, "id", clusters)
+      .select("id", "split").collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(again.toSet == r.select("id", "split").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet)
+  }
 }
