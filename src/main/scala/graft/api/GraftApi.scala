@@ -21,6 +21,28 @@ object Text {
       .select(col(idCol), (col("pos") + 1).cast("long").as("ord"),
         col("col").as("token"))
 
+  /** RARE-TOKEN inverted index: token → document frequency + the full
+    * sorted posting list, for tokens with df in [minDf, maxDf]. The
+    * df band is applied BEFORE any posting list is collected — the
+    * first agg computes only counts, the second collects lists for
+    * surviving tokens alone — so no executor ever materializes a
+    * stopword's corpus-wide posting list (the skew that kills a naive
+    * one-pass collect_list index at 100 TB; list size is bounded by
+    * maxDf by construction). Postings are ascending-id, comma-joined
+    * (engine-neutral string, §2.0.8). Output: (token, df, postings). */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long, maxDf: Long): DataFrame = {
+    val tok = tokens(docs, idCol, textCol)
+      .select(col(idCol).as("doc"), col("token")).distinct()
+    val keep = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    tok.join(keep, "token")
+      .groupBy("token", "df")
+      .agg(array_join(transform(array_sort(collect_list(col("doc"))),
+        d => d.cast("string")), ",").as("postings"))
+      .select(col("token"), col("df"), col("postings"))
+  }
+
   /** Distinct k-word shingles per row. Output: (idCol, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
@@ -1056,5 +1078,39 @@ object Profile {
         col("p50_cnt"), col("p99_cnt"), col("top_key"),
         expr("(1000000 * max_cnt * n_keys) div n_rows")
           .as("skew_ratio_ppm"))
+  }
+
+  /** JOIN-CARDINALITY estimate WITHOUT running the join — the other
+    * pre-flight profile (sibling of [[keySkew]]): exact output rows of
+    * `a ⋈ b` on an equi-key = Σ over shared keys of cnt_a·cnt_b,
+    * computed from the two per-key count frames. Each side is one
+    * hash-agg pass (map-side partial); the per-key join is
+    * key-cardinality-sized, never row-sized — at 100 TB you pay two
+    * count-aggs to learn whether the real join would emit 10^9 or
+    * 10^13 rows, and WHICH key dominates it (tie on contribution
+    * breaks to the smallest key, so the answer is deterministic).
+    * One row: key counts per side, shared keys, exact join rows, the
+    * worst key + its contribution, and that key's share in ppm. */
+  def joinCardinality(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String): DataFrame = {
+    val ca = a.groupBy(col(aKey).as("key")).agg(count(lit(1)).as("cnt_a"))
+    val cb = b.groupBy(col(bKey).as("key")).agg(count(lit(1)).as("cnt_b"))
+    val contrib = ca.join(cb, "key")
+      .select(col("key"), (col("cnt_a") * col("cnt_b")).as("rows_k"))
+    val tot = contrib.agg(count(lit(1)).as("n_keys_common"),
+      sum("rows_k").as("join_rows"), max("rows_k").as("max_key_rows"))
+    val sides = ca.agg(count(lit(1)).as("n_keys_a")).crossJoin(
+      broadcast(cb.agg(count(lit(1)).as("n_keys_b"))))
+    contrib.crossJoin(broadcast(tot))
+      .agg(min(when(col("rows_k") === col("max_key_rows"), col("key")))
+          .as("top_key"),
+        first("n_keys_common").as("n_keys_common"),
+        first("join_rows").as("join_rows"),
+        first("max_key_rows").as("max_key_rows"))
+      .crossJoin(broadcast(sides))
+      .select(col("n_keys_a"), col("n_keys_b"), col("n_keys_common"),
+        col("join_rows"), col("max_key_rows"), col("top_key"),
+        expr("(1000000 * max_key_rows) div join_rows")
+          .as("top_key_share_ppm"))
   }
 }

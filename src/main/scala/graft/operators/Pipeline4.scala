@@ -74,6 +74,22 @@ object Pipeline4 extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Exact join-output cardinality of lineitem ⋈ orders on orderkey
+    * WITHOUT running the join (graft.api.Profile.joinCardinality):
+    * two per-key count aggs + a key-cardinality-sized join; 1 row. */
+  def profileJoinCard(s: SparkSession, dir: String): DataFrame =
+    graft.api.Profile.joinCardinality(
+      Tables.lineitem(s, dir), "l_orderkey",
+      Tables.orders(s, dir), "o_orderkey")
+
+  /** Rare-token inverted index over documents, df in [3, 10]
+    * (graft.api.Text.invertedIndex — df band BEFORE list collection,
+    * so posting lists are bounded by maxDf at any corpus size). */
+  def textInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.api.Text.invertedIndex(Tables.documents(s, dir), "doc_id",
+        "text", minDf = 3L, maxDf = 10L)
+      .orderBy("token")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_chunk" -> dedupChunk,
     "q_events_funnel" -> eventsFunnel,
@@ -81,7 +97,9 @@ object Pipeline4 extends graft.QueryModule {
     "q_sample_temperature" -> sampleTemperature,
     "q_profile_drift" -> profileDrift,
     "q_profile_skew" -> profileSkew,
-    "q_split_leakage_safe" -> splitLeakageSafe)
+    "q_split_leakage_safe" -> splitLeakageSafe,
+    "q_profile_join_card" -> profileJoinCard,
+    "q_text_inverted_index" -> textInvertedIndex)
 
   /** Tokens with the raw-split ordinal (gaps where empty tokens were
     * dropped) — must match graft.api.Text.tokens' pos+1 numbering. */
@@ -237,5 +255,37 @@ object Pipeline4 extends graft.QueryModule {
         |       WHEN (rep * 1103515245 + 12345) % 1000000007 % 100 < 90
         |         THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_profile_join_card" ->
+      """WITH ca AS (SELECT l_orderkey AS key, COUNT(*) AS cnt_a
+        |            FROM lineitem GROUP BY 1),
+        |cb AS (SELECT o_orderkey AS key, COUNT(*) AS cnt_b
+        |       FROM orders GROUP BY 1),
+        |contrib AS (SELECT ca.key, cnt_a * cnt_b AS rows_k
+        |            FROM ca JOIN cb USING (key)),
+        |t AS (SELECT COUNT(*) AS n_keys_common, SUM(rows_k) AS join_rows,
+        |        MAX(rows_k) AS max_key_rows FROM contrib),
+        |sa AS (SELECT COUNT(*) AS n_keys_a FROM ca),
+        |sb AS (SELECT COUNT(*) AS n_keys_b FROM cb),
+        |tk AS (SELECT MIN(key) AS top_key FROM contrib CROSS JOIN t
+        |       WHERE rows_k = max_key_rows)
+        |SELECT CAST(n_keys_a AS BIGINT) AS n_keys_a,
+        |  CAST(n_keys_b AS BIGINT) AS n_keys_b,
+        |  CAST(n_keys_common AS BIGINT) AS n_keys_common,
+        |  CAST(join_rows AS BIGINT) AS join_rows,
+        |  CAST(max_key_rows AS BIGINT) AS max_key_rows,
+        |  CAST(top_key AS BIGINT) AS top_key,
+        |  CAST((1000000 * max_key_rows) // join_rows AS BIGINT)
+        |    AS top_key_share_ppm
+        |FROM sa CROSS JOIN sb CROSS JOIN t CROSS JOIN tk""".stripMargin,
+    "q_text_inverted_index" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id AS doc, token
+        |             FROM ($tokOrdSql)),
+        |d AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+        |      HAVING COUNT(*) BETWEEN 3 AND 10)
+        |SELECT t.token, CAST(d.df AS BIGINT) AS df,
+        |  string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS postings
+        |FROM tok t JOIN d ON t.token = d.token
+        |GROUP BY t.token, d.df
+        |ORDER BY t.token""".stripMargin)
 }

@@ -156,4 +156,38 @@ class Pipeline4Spec extends AnyFunSuite {
     assert(again.toSet == r.select("id", "split").collect()
       .map(x => (x.getLong(0), x.getString(1))).toSet)
   }
+
+  test("Profile.joinCardinality: estimate equals the executed join size") {
+    val sp = spark
+    import sp.implicits._
+    // a: key 1 x3, key 2 x2, key 9 x1; b: key 1 x4, key 2 x1, key 7 x5
+    val a = (Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++ Seq(9L)).toDF("ka")
+    val b = (Seq.fill(4)(1L) ++ Seq(2L) ++ Seq.fill(5)(7L)).toDF("kb")
+    val r = api.Profile.joinCardinality(a, "ka", b, "kb").collect()(0)
+    assert(r.getLong(r.fieldIndex("n_keys_a")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_keys_b")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_keys_common")) == 2L)
+    // shared keys: 1 -> 3*4 = 12, 2 -> 2*1 = 2
+    assert(r.getLong(r.fieldIndex("join_rows")) == 14L)
+    assert(r.getLong(r.fieldIndex("max_key_rows")) == 12L)
+    assert(r.getLong(r.fieldIndex("top_key")) == 1L)
+    assert(r.getLong(r.fieldIndex("top_key_share_ppm")) == 857142L)
+    // the estimate IS the executed join's cardinality
+    assert(a.join(b, col("ka") === col("kb")).count() == 14L)
+  }
+
+  test("Text.invertedIndex: df band, bounded sorted postings") {
+    val sp = spark
+    import sp.implicits._
+    // "rare" in docs 2,5; "mid" in 1,2,3; "stop" in all 6 docs.
+    val docs = Seq(
+      (1L, "mid stop"), (2L, "rare mid stop"), (3L, "mid stop stop"),
+      (4L, "stop"), (5L, "rare stop"), (6L, "stop only")).toDF("id", "body")
+    val r = api.Text.invertedIndex(docs, "id", "body", minDf = 2L,
+        maxDf = 3L).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r.keySet == Set("rare", "mid")) // stop (df 6) and only (df 1) out
+    assert(r("rare") == ((2L, "2,5")))
+    assert(r("mid") == ((3L, "1,2,3")))
+  }
 }
