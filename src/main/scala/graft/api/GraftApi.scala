@@ -43,6 +43,29 @@ object Text {
       .select(col("token"), col("df"), col("postings"))
   }
 
+  /** Blocklist hits per document: for each doc containing at least one
+    * blocklisted token, the number of blocked occurrences and the
+    * lexicographically first blocked token (deterministic evidence
+    * column). The blocklist rides a BROADCAST equi-join on token — at
+    * 100 TB the corpus explodes once and probes a hashmap; no shuffle
+    * keyed on the corpus, and a million-word blocklist still
+    * broadcasts in MBs. Doc-level removal is then an anti-join against
+    * this frame ([[blocklistFilter]]). Output: (idCol, n_blocked,
+    * first_blocked). */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, wordCol: String = "word"): DataFrame =
+    tokens(docs, idCol, textCol)
+      .join(broadcast(blocklist.select(col(wordCol).as("token"))), "token")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_blocked"), min("token").as("first_blocked"))
+
+  /** Documents surviving the blocklist: anti-join against
+    * [[blocklistHits]] — a doc is dropped iff ANY token is listed. */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, wordCol: String = "word"): DataFrame =
+    docs.join(blocklistHits(docs, idCol, textCol, blocklist, wordCol)
+      .select(idCol), Seq(idCol), "left_anti")
+
   /** Distinct k-word shingles per row. Output: (idCol, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
@@ -1112,5 +1135,27 @@ object Profile {
         col("join_rows"), col("max_key_rows"), col("top_key"),
         expr("(1000000 * max_key_rows) div join_rows")
           .as("top_key_share_ppm"))
+  }
+
+  /** OUTPUT-SHARD balance report: assign each row to one of `nShards`
+    * output shards by the engine-neutral multiplicative hash of its id
+    * (the stable assignment a shard writer would use — a re-run or a
+    * different engine lands every row in the same shard), then report
+    * per-shard row count, total weight (e.g. chars/tokens — the thing
+    * that actually costs at training time), and the shard's weight
+    * share in ppm vs the ideal 1e6/n. One projection + an n-group agg:
+    * the check that a 100 TB materialization is not about to write one
+    * fat shard. Output: (shard, n_rows, weight, share_ppm). */
+  def shardBalance(df: DataFrame, idCol: String, weightCol: String,
+      nShards: Int): DataFrame = {
+    val sh = df.select(
+      (pmod(col(idCol) * lit(1103515245L) + lit(12345L),
+        lit(1000000007L)) % nShards).as("shard"),
+      col(weightCol).cast("long").as("w"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum("w").as("weight"))
+    sh.crossJoin(broadcast(sh.agg(sum("weight").as("tot_w"))))
+      .select(col("shard"), col("n_rows"), col("weight"),
+        expr("(1000000 * weight) div tot_w").as("share_ppm"))
   }
 }

@@ -90,6 +90,27 @@ object Pipeline4 extends graft.QueryModule {
         "text", minDf = 3L, maxDf = 10L)
       .orderBy("token")
 
+  /** Blocklist hits over documents for {dup, the} — the removed set a
+    * bad-words filter would drop, with occurrence counts and the first
+    * blocked token as evidence (graft.api.Text.blocklistHits —
+    * broadcast token probe, no corpus-keyed shuffle). */
+  def textBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val block = Seq("dup", "the").toDF("word")
+    graft.api.Text.blocklistHits(Tables.documents(s, dir), "doc_id",
+        "text", block)
+      .orderBy("doc_id")
+  }
+
+  /** 16-way output-shard balance of documents weighted by text length
+    * (graft.api.Profile.shardBalance — the stable-hash shard writer's
+    * pre-materialization check). */
+  def profileShardBalance(s: SparkSession, dir: String): DataFrame =
+    graft.api.Profile.shardBalance(
+        Tables.documents(s, dir).withColumn("n_chars", length(col("text"))),
+        "doc_id", "n_chars", 16)
+      .orderBy("shard")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_chunk" -> dedupChunk,
     "q_events_funnel" -> eventsFunnel,
@@ -99,7 +120,9 @@ object Pipeline4 extends graft.QueryModule {
     "q_profile_skew" -> profileSkew,
     "q_split_leakage_safe" -> splitLeakageSafe,
     "q_profile_join_card" -> profileJoinCard,
-    "q_text_inverted_index" -> textInvertedIndex)
+    "q_text_inverted_index" -> textInvertedIndex,
+    "q_text_blocklist" -> textBlocklist,
+    "q_profile_shard_balance" -> profileShardBalance)
 
   /** Tokens with the raw-split ordinal (gaps where empty tokens were
     * dropped) — must match graft.api.Text.tokens' pos+1 numbering. */
@@ -287,5 +310,23 @@ object Pipeline4 extends graft.QueryModule {
         |  string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS postings
         |FROM tok t JOIN d ON t.token = d.token
         |GROUP BY t.token, d.df
-        |ORDER BY t.token""".stripMargin)
+        |ORDER BY t.token""".stripMargin,
+    "q_text_blocklist" ->
+      s"""WITH tok AS ($tokOrdSql)
+        |SELECT doc_id, COUNT(*) AS n_blocked,
+        |  MIN(token) AS first_blocked
+        |FROM tok WHERE token IN ('dup', 'the')
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_profile_shard_balance" ->
+      """WITH sh AS (SELECT (doc_id * 1103515245 + 12345) % 1000000007 % 16
+        |              AS shard,
+        |            CAST(length(text) AS BIGINT) AS w FROM documents),
+        |agg AS (SELECT shard, COUNT(*) AS n_rows, SUM(w) AS weight
+        |        FROM sh GROUP BY shard),
+        |t AS (SELECT SUM(weight) AS tot_w FROM agg)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(weight AS BIGINT) AS weight,
+        |  CAST((1000000 * weight) // tot_w AS BIGINT) AS share_ppm
+        |FROM agg CROSS JOIN t ORDER BY shard""".stripMargin)
 }

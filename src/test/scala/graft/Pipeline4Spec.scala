@@ -190,4 +190,36 @@ class Pipeline4Spec extends AnyFunSuite {
     assert(r("rare") == ((2L, "2,5")))
     assert(r("mid") == ((3L, "1,2,3")))
   }
+
+  test("Text.blocklistHits/Filter: hits counted, survivors complementary") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "aa bb"), (2L, "bad aa"), (3L, "bad bad worse"),
+      (4L, "clean")).toDF("id", "body")
+    val block = Seq("bad", "worse").toDF("word")
+    val hits = api.Text.blocklistHits(docs, "id", "body", block).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(hits == Map(2L -> ((1L, "bad")), 3L -> ((3L, "bad"))))
+    val kept = api.Text.blocklistFilter(docs, "id", "body", block)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L)) // hit docs and survivors partition the corpus
+  }
+
+  test("Profile.shardBalance: totals conserved, hash formula pinned") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1L to 64L).map(i => (i, 10L)).toDF("id", "w")
+    val rows = api.Profile.shardBalance(df, "id", "w", 4).collect()
+    assert(rows.map(_.getLong(1)).sum == 64L)  // every row landed somewhere
+    assert(rows.map(_.getLong(2)).sum == 640L) // weight conserved
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 4L).toSet))
+    // share_ppm sums to 1e6 modulo per-shard floor rounding
+    val ppm = rows.map(_.getLong(3)).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - rows.length)
+    // the assignment is the documented multiplicative hash
+    val expected = (1L to 64L).groupBy(i =>
+      ((i * 1103515245L + 12345L) % 1000000007L) % 4L).view.mapValues(_.size)
+    rows.foreach { x =>
+      assert(x.getLong(1) == expected(x.getLong(0)).toLong) }
+  }
 }
