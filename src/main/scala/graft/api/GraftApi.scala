@@ -1146,6 +1146,68 @@ object Profile {
     * share in ppm vs the ideal 1e6/n. One projection + an n-group agg:
     * the check that a 100 TB materialization is not about to write one
     * fat shard. Output: (shard, n_rows, weight, share_ppm). */
+  /** WINSORIZED (value-trimmed) mean per group — the robust average a
+    * metrics pipeline wants when a group's tail is garbage: per group,
+    * the discrete p-lo/p-hi bounds on EXACT integer cents (the Det
+    * decimal rule — round(v*100) before any comparison) and the mean
+    * of rows whose value lies within [lo, hi] INCLUSIVE. Trimming is
+    * by VALUE, not rank, so ties at the boundary are kept
+    * symmetrically and the result is engine-neutral: the value at
+    * sorted position k is deterministic even though row_number breaks
+    * ties arbitrarily. One per-group sort window (same cost class as
+    * the graded window family; the 100 TB approx dial is the KLL
+    * rollup's p05/p95) + one filtered agg.
+    * Output: (groupCol, n, lo_cents, hi_cents, n_kept, trimmed_mean). */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    val c = df.select(col(groupCol).as("g"),
+      expr(s"CAST(ROUND($valueCol * 100) AS BIGINT)").as("cents"))
+    val n = c.groupBy("g").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("cents")
+    val bounds = c.join(n, "g")
+      .withColumn("rk", row_number().over(w))
+      .groupBy("g", "n").agg(
+        min(when(col("rk") === expr(s"($loPct * n + 99) div 100"),
+          col("cents"))).as("lo_cents"),
+        min(when(col("rk") === expr(s"($hiPct * n + 99) div 100"),
+          col("cents"))).as("hi_cents"))
+    c.join(bounds, "g")
+      .where(col("cents") >= col("lo_cents") &&
+        col("cents") <= col("hi_cents"))
+      .groupBy(col("g"), col("n"), col("lo_cents"), col("hi_cents"))
+      .agg(count(lit(1)).as("n_kept"), sum("cents").as("s"))
+      .select(col("g").as(groupCol), col("n"), col("lo_cents"),
+        col("hi_cents"), col("n_kept"),
+        round(col("s").cast("double") / col("n_kept") / 100.0, 6)
+          .as("trimmed_mean"))
+  }
+
+  /** CROSS-CORPUS shingle overlap — the corpus-level contamination /
+    * redundancy metric between two sources: distinct k-shingle set
+    * sizes per side, the shared count, directed containment (what
+    * fraction of B's content A already covers — the number that says
+    * "skip ingesting B") and Jaccard, all as exact ppm integers. One
+    * pass: distinct (side, shingle) → per-shingle presence flags
+    * (shuffle keyed on shingle — never a doc pair space) → 1-row agg. */
+  def corpusOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      ga: String, gb: String, k: Int = 3): DataFrame = {
+    val sh = Text.shingles(
+      docs.where(col(groupCol).isin(ga, gb))
+        .select(col(groupCol).as("grp"), col(textCol)),
+      "grp", textCol).distinct()
+    sh.groupBy("shingle").agg(
+        max(when(col("grp") === ga, 1L).otherwise(0L)).as("in_a"),
+        max(when(col("grp") === gb, 1L).otherwise(0L)).as("in_b"))
+      .agg(sum("in_a").as("n_a"), sum("in_b").as("n_b"),
+        sum(col("in_a") * col("in_b")).as("n_common"))
+      .select(col("n_a"), col("n_b"), col("n_common"),
+        expr("(1000000 * n_common) div n_a").as("a_in_b_cover_ppm"),
+        expr("(1000000 * n_common) div n_b").as("b_in_a_cover_ppm"),
+        expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+          .as("jaccard_ppm"))
+  }
+
   def shardBalance(df: DataFrame, idCol: String, weightCol: String,
       nShards: Int): DataFrame = {
     val sh = df.select(

@@ -111,6 +111,20 @@ object Pipeline4 extends graft.QueryModule {
         "doc_id", "n_chars", 16)
       .orderBy("shard")
 
+  /** Winsorized mean of events.value per event_type, p05/p95 value
+    * bounds on exact cents (graft.api.Profile.trimmedMean). */
+  def aggTrimmed(s: SparkSession, dir: String): DataFrame =
+    graft.api.Profile.trimmedMean(Tables.events(s, dir), "event_type",
+        "value")
+      .orderBy("event_type")
+
+  /** Cross-corpus 3-shingle overlap between documents sources src0 and
+    * src1 (graft.api.Profile.corpusOverlap): set sizes, shared count,
+    * directed containment + Jaccard in exact ppm. */
+  def profileCorpusOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.api.Profile.corpusOverlap(Tables.documents(s, dir), "source",
+      "text", "src0", "src1")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_chunk" -> dedupChunk,
     "q_events_funnel" -> eventsFunnel,
@@ -122,7 +136,9 @@ object Pipeline4 extends graft.QueryModule {
     "q_profile_join_card" -> profileJoinCard,
     "q_text_inverted_index" -> textInvertedIndex,
     "q_text_blocklist" -> textBlocklist,
-    "q_profile_shard_balance" -> profileShardBalance)
+    "q_profile_shard_balance" -> profileShardBalance,
+    "q_agg_trimmed" -> aggTrimmed,
+    "q_profile_corpus_overlap" -> profileCorpusOverlap)
 
   /** Tokens with the raw-split ordinal (gaps where empty tokens were
     * dropped) — must match graft.api.Text.tokens' pos+1 numbering. */
@@ -328,5 +344,49 @@ object Pipeline4 extends graft.QueryModule {
         |  CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(weight AS BIGINT) AS weight,
         |  CAST((1000000 * weight) // tot_w AS BIGINT) AS share_ppm
-        |FROM agg CROSS JOIN t ORDER BY shard""".stripMargin)
+        |FROM agg CROSS JOIN t ORDER BY shard""".stripMargin,
+    "q_agg_trimmed" ->
+      """WITH c AS (SELECT event_type AS g,
+        |             CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |n AS (SELECT g, COUNT(*) AS n FROM c GROUP BY g),
+        |r AS (SELECT c.g, cents, n,
+        |        ROW_NUMBER() OVER (PARTITION BY c.g ORDER BY cents) AS rk
+        |      FROM c JOIN n ON c.g = n.g),
+        |b AS (SELECT g, n,
+        |        MIN(CASE WHEN rk = (5 * n + 99) // 100 THEN cents END)
+        |          AS lo_cents,
+        |        MIN(CASE WHEN rk = (95 * n + 99) // 100 THEN cents END)
+        |          AS hi_cents
+        |      FROM r GROUP BY g, n),
+        |k AS (SELECT c.g, n, lo_cents, hi_cents, COUNT(*) AS n_kept,
+        |        SUM(cents) AS s
+        |      FROM c JOIN b ON c.g = b.g
+        |      WHERE cents >= lo_cents AND cents <= hi_cents
+        |      GROUP BY c.g, n, lo_cents, hi_cents)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(lo_cents AS BIGINT) AS lo_cents,
+        |  CAST(hi_cents AS BIGINT) AS hi_cents,
+        |  CAST(n_kept AS BIGINT) AS n_kept,
+        |  ROUND(CAST(s AS DOUBLE) / n_kept / 100, 6) AS trimmed_mean
+        |FROM k ORDER BY event_type""".stripMargin,
+    "q_profile_corpus_overlap" ->
+      s"""WITH sh AS (SELECT d.source AS grp, s.shingle
+        |           FROM (${TextOps.shinglesSql}) s
+        |           JOIN documents d USING (doc_id)
+        |           WHERE d.source IN ('src0', 'src1')),
+        |dist AS (SELECT DISTINCT grp, shingle FROM sh),
+        |pres AS (SELECT shingle,
+        |           MAX(CASE WHEN grp = 'src0' THEN 1 ELSE 0 END) AS in_a,
+        |           MAX(CASE WHEN grp = 'src1' THEN 1 ELSE 0 END) AS in_b
+        |         FROM dist GROUP BY shingle),
+        |t AS (SELECT SUM(in_a) AS n_a, SUM(in_b) AS n_b,
+        |        SUM(in_a * in_b) AS n_common FROM pres)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  CAST((1000000 * n_common) // n_a AS BIGINT) AS a_in_b_cover_ppm,
+        |  CAST((1000000 * n_common) // n_b AS BIGINT) AS b_in_a_cover_ppm,
+        |  CAST((1000000 * n_common) // (n_a + n_b - n_common) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM t""".stripMargin)
 }

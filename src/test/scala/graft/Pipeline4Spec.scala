@@ -222,4 +222,40 @@ class Pipeline4Spec extends AnyFunSuite {
     rows.foreach { x =>
       assert(x.getLong(1) == expected(x.getLong(0)).toLong) }
   }
+
+  test("Profile.trimmedMean: outlier excluded, hand-computed bounds") {
+    val sp = spark
+    import sp.implicits._
+    // group "g": values 1..20 plus an outlier 1000. n = 21,
+    // lo rank = ceil(.05*21) = 2 -> 2.00, hi rank = ceil(.95*21) = 20
+    // -> 20.00; kept 2..20 (19 rows), mean = (2+..+20)/19 = 209/19.
+    val df = ((1 to 20).map(v => ("g", v.toDouble)) :+ ("g", 1000.0))
+      .toDF("grp", "v")
+    val r = api.Profile.trimmedMean(df, "grp", "v").collect()(0)
+    assert(r.getLong(r.fieldIndex("n")) == 21L)
+    assert(r.getLong(r.fieldIndex("lo_cents")) == 200L)
+    assert(r.getLong(r.fieldIndex("hi_cents")) == 2000L)
+    assert(r.getLong(r.fieldIndex("n_kept")) == 19L)
+    assert(math.abs(r.getDouble(r.fieldIndex("trimmed_mean"))
+      - 209.0 / 19.0) < 1e-6)
+  }
+
+  test("Profile.corpusOverlap: hand-computed shingle sets") {
+    val sp = spark
+    import sp.implicits._
+    // src a: shingles {w1 w2 w3, w2 w3 w4} (one doc, 4 tokens)
+    //        and {x1 x2 x3} -> n_a = 3
+    // src b: {w2 w3 w4} and {y1 y2 y3} -> n_b = 2, common = 1
+    val docs = Seq(
+      ("a", "w1 w2 w3 w4"), ("a", "x1 x2 x3"),
+      ("b", "w2 w3 w4"), ("b", "y1 y2 y3")).toDF("src", "body")
+    val r = api.Profile.corpusOverlap(docs, "src", "body", "a", "b")
+      .collect()(0)
+    assert(r.getLong(r.fieldIndex("n_a")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_b")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_common")) == 1L)
+    assert(r.getLong(r.fieldIndex("a_in_b_cover_ppm")) == 333333L)
+    assert(r.getLong(r.fieldIndex("b_in_a_cover_ppm")) == 500000L)
+    assert(r.getLong(r.fieldIndex("jaccard_ppm")) == 250000L)
+  }
 }
