@@ -849,8 +849,13 @@ object Events {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
     counts
       .withColumn("prev_users", lag(col("users"), 1).over(w))
+      // Only step 1 gets the 1000000 sentinel; a later step whose
+      // PREDECESSOR had 0 users reports 0 conversion, not the 100%
+      // that a blanket coalesce over (0 div 0 -> NULL) would claim.
       .withColumn("conv_from_prev_ppm",
-        coalesce(expr("(1000000 * users) div prev_users"), lit(1000000L)))
+        when(col("prev_users").isNull, lit(1000000L))
+          .when(col("prev_users") === 0L, lit(0L))
+          .otherwise(expr("(1000000 * users) div prev_users")))
       .drop("prev_users")
   }
 }
@@ -1099,8 +1104,13 @@ object Profile {
         first("max_cnt").as("max_cnt"), first("top_key").as("top_key"))
       .select(col("n_keys"), col("n_rows"), col("max_cnt"),
         col("p50_cnt"), col("p99_cnt"), col("top_key"),
-        expr("(1000000 * max_cnt * n_keys) div n_rows")
-          .as("skew_ratio_ppm"))
+        // ppm numerator through decimal(38,0): 1e6 * max_cnt * n_keys
+        // exceeds int64 once max_cnt*n_keys > ~9.2e12 (1e8 keys with a
+        // 1e5-row hot key — realistic at 100 TB). Same rule as
+        // Text.corpusStats; bit-identical to the oracle's // wherever
+        // both fit.
+        expr("cast((1000000 * cast(max_cnt as decimal(38,0)) * n_keys)" +
+          " div n_rows as bigint)").as("skew_ratio_ppm"))
   }
 
   /** JOIN-CARDINALITY estimate WITHOUT running the join — the other
@@ -1124,28 +1134,24 @@ object Profile {
       sum("rows_k").as("join_rows"), max("rows_k").as("max_key_rows"))
     val sides = ca.agg(count(lit(1)).as("n_keys_a")).crossJoin(
       broadcast(cb.agg(count(lit(1)).as("n_keys_b"))))
-    contrib.crossJoin(broadcast(tot))
-      .agg(min(when(col("rows_k") === col("max_key_rows"), col("key")))
-          .as("top_key"),
-        first("n_keys_common").as("n_keys_common"),
-        first("join_rows").as("join_rows"),
-        first("max_key_rows").as("max_key_rows"))
-      .crossJoin(broadcast(sides))
+    // Final row derives from `tot` (always 1 row), not from a global
+    // agg over contrib×tot: with DISJOINT key sets contrib is empty and
+    // that agg would return NULL n_keys_common where the oracle says 0.
+    // The min-key-of-max pick is its own subaggregate (1 row, NULL top
+    // key when there are no shared keys — matching the oracle's MIN
+    // over an empty frame).
+    val tk = contrib.crossJoin(broadcast(tot))
+      .where(col("rows_k") === col("max_key_rows"))
+      .agg(min("key").as("top_key"))
+    tot.crossJoin(broadcast(tk)).crossJoin(broadcast(sides))
       .select(col("n_keys_a"), col("n_keys_b"), col("n_keys_common"),
         col("join_rows"), col("max_key_rows"), col("top_key"),
-        expr("(1000000 * max_key_rows) div join_rows")
-          .as("top_key_share_ppm"))
+        // decimal(38,0) numerator: 1e6 * max_key_rows overflows int64
+        // once the hot key contributes > ~9.2e12 join rows.
+        expr("cast((1000000 * cast(max_key_rows as decimal(38,0)))" +
+          " div join_rows as bigint)").as("top_key_share_ppm"))
   }
 
-  /** OUTPUT-SHARD balance report: assign each row to one of `nShards`
-    * output shards by the engine-neutral multiplicative hash of its id
-    * (the stable assignment a shard writer would use — a re-run or a
-    * different engine lands every row in the same shard), then report
-    * per-shard row count, total weight (e.g. chars/tokens — the thing
-    * that actually costs at training time), and the shard's weight
-    * share in ppm vs the ideal 1e6/n. One projection + an n-group agg:
-    * the check that a 100 TB materialization is not about to write one
-    * fat shard. Output: (shard, n_rows, weight, share_ppm). */
   /** WINSORIZED (value-trimmed) mean per group — the robust average a
     * metrics pipeline wants when a group's tail is garbage: per group,
     * the discrete p-lo/p-hi bounds on EXACT integer cents (the Det
@@ -1154,24 +1160,47 @@ object Profile {
     * by VALUE, not rank, so ties at the boundary are kept
     * symmetrically and the result is engine-neutral: the value at
     * sorted position k is deterministic even though row_number breaks
-    * ties arbitrarily. One per-group sort window (same cost class as
-    * the graded window family; the 100 TB approx dial is the KLL
-    * rollup's p05/p95) + one filtered agg.
+    * ties arbitrarily.
+    *
+    * `approx` is the 100 TB dial. false (the oracle-checked default):
+    * bounds from a per-group sort window — exact, but each window
+    * partition is a whole group on one reducer, the full-sort-on-
+    * skewed-key plan that dies when one group is 1/5 of a 100 TB
+    * table. true: bounds from a KLL sketch (functions.KllExprs) — one
+    * hash agg with map-side partial merge, NO sort anywhere; the
+    * bounds are actual stream values within the KLL rank band
+    * (~±1.65% of rank at k=200), and the rest of the plan (inclusive
+    * value filter + filtered agg) is unchanged. ApiSpec bounds the
+    * approx bounds' true ranks against the band.
     * Output: (groupCol, n, lo_cents, hi_cents, n_kept, trimmed_mean). */
   def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
-      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+      loPct: Int = 5, hiPct: Int = 95, approx: Boolean = false,
+      k: Int = 200): DataFrame = {
     val c = df.select(col(groupCol).as("g"),
       expr(s"CAST(ROUND($valueCol * 100) AS BIGINT)").as("cents"))
-    val n = c.groupBy("g").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("g").orderBy("cents")
-    val bounds = c.join(n, "g")
-      .withColumn("rk", row_number().over(w))
-      .groupBy("g", "n").agg(
-        min(when(col("rk") === expr(s"($loPct * n + 99) div 100"),
-          col("cents"))).as("lo_cents"),
-        min(when(col("rk") === expr(s"($hiPct * n + 99) div 100"),
-          col("cents"))).as("hi_cents"))
+    val bounds = if (approx) {
+      graft.functions.KllExprs.ensureRegistered(df.sparkSession)
+      // cents are integers |v| <= 2^53, exact as doubles; getQuantile
+      // returns a retained stream item, so the cast back is lossless.
+      c.groupBy("g").agg(count(lit(1)).as("n"),
+          expr(s"graft_kll_agg(cast(cents as double), $k)").as("sk"))
+        .select(col("g"), col("n"),
+          expr(s"cast(graft_kll_quantile(sk, ${loPct / 100.0}D) as bigint)")
+            .as("lo_cents"),
+          expr(s"cast(graft_kll_quantile(sk, ${hiPct / 100.0}D) as bigint)")
+            .as("hi_cents"))
+    } else {
+      val n = c.groupBy("g").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("cents")
+      c.join(n, "g")
+        .withColumn("rk", row_number().over(w))
+        .groupBy("g", "n").agg(
+          min(when(col("rk") === expr(s"($loPct * n + 99) div 100"),
+            col("cents"))).as("lo_cents"),
+          min(when(col("rk") === expr(s"($hiPct * n + 99) div 100"),
+            col("cents"))).as("hi_cents"))
+    }
     c.join(bounds, "g")
       .where(col("cents") >= col("lo_cents") &&
         col("cents") <= col("hi_cents"))
@@ -1208,6 +1237,15 @@ object Profile {
           .as("jaccard_ppm"))
   }
 
+  /** OUTPUT-SHARD balance report: assign each row to one of `nShards`
+    * output shards by the engine-neutral multiplicative hash of its id
+    * (the stable assignment a shard writer would use — a re-run or a
+    * different engine lands every row in the same shard), then report
+    * per-shard row count, total weight (e.g. chars/tokens — the thing
+    * that actually costs at training time), and the shard's weight
+    * share in ppm vs the ideal 1e6/n. One projection + an n-group agg:
+    * the check that a 100 TB materialization is not about to write one
+    * fat shard. Output: (shard, n_rows, weight, share_ppm). */
   def shardBalance(df: DataFrame, idCol: String, weightCol: String,
       nShards: Int): DataFrame = {
     val sh = df.select(
@@ -1218,6 +1256,9 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"), sum("w").as("weight"))
     sh.crossJoin(broadcast(sh.agg(sum("weight").as("tot_w"))))
       .select(col("shard"), col("n_rows"), col("weight"),
-        expr("(1000000 * weight) div tot_w").as("share_ppm"))
+        // decimal(38,0) numerator (corpusStats rule): 1e6 * weight
+        // overflows int64 past ~9.2e12 chars/tokens per shard.
+        expr("cast((1000000 * cast(weight as decimal(38,0)))" +
+          " div tot_w as bigint)").as("share_ppm"))
   }
 }

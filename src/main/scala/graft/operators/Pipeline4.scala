@@ -118,6 +118,15 @@ object Pipeline4 extends graft.QueryModule {
         "value")
       .orderBy("event_type")
 
+  /** KLL twin of q_agg_trimmed — same winsorized mean, bounds from the
+    * mergeable KLL sketch instead of a per-group sort window (the
+    * 100 TB path: one hash agg, no sort; graded no-oracle, bounded by
+    * ApiSpec's rank-band test against the exact twin). */
+  def aggTrimmedKll(s: SparkSession, dir: String): DataFrame =
+    graft.api.Profile.trimmedMean(Tables.events(s, dir), "event_type",
+        "value", approx = true)
+      .orderBy("event_type")
+
   /** Cross-corpus 3-shingle overlap between documents sources src0 and
     * src1 (graft.api.Profile.corpusOverlap): set sizes, shared count,
     * directed containment + Jaccard in exact ppm. */
@@ -138,6 +147,7 @@ object Pipeline4 extends graft.QueryModule {
     "q_text_blocklist" -> textBlocklist,
     "q_profile_shard_balance" -> profileShardBalance,
     "q_agg_trimmed" -> aggTrimmed,
+    "q_agg_trimmed_kll" -> aggTrimmedKll,
     "q_profile_corpus_overlap" -> profileCorpusOverlap)
 
   /** Tokens with the raw-split ordinal (gaps where empty tokens were
@@ -183,8 +193,12 @@ object Pipeline4 extends graft.QueryModule {
         |      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
         |SELECT CAST(step AS BIGINT) AS step, event_type,
         |  CAST(users AS BIGINT) AS users,
-        |  CAST(COALESCE((1000000 * users) // LAG(users) OVER (ORDER BY step),
-        |    1000000) AS BIGINT) AS conv_from_prev_ppm
+        |  CAST(CASE WHEN LAG(users) OVER (ORDER BY step) IS NULL
+        |              THEN 1000000
+        |            WHEN LAG(users) OVER (ORDER BY step) = 0 THEN 0
+        |            ELSE (1000000 * users)
+        |              // LAG(users) OVER (ORDER BY step) END
+        |    AS BIGINT) AS conv_from_prev_ppm
         |FROM c ORDER BY step""".stripMargin,
     "q_text_collocations" ->
       s"""WITH tok AS ($tokOrdSql),

@@ -176,6 +176,36 @@ class Pipeline4Spec extends AnyFunSuite {
     assert(a.join(b, col("ka") === col("kb")).count() == 14L)
   }
 
+  test("Events.funnel: empty step reports 0 conversion, not 100%") {
+    val sp = spark
+    import sp.implicits._
+    def t(s: Int) = new Timestamp(s * 1000L)
+    // u1 does a then c but never b: step b has 0 users, and step c's
+    // conv_from_prev must be 0 — the (0 div 0) -> NULL case a blanket
+    // coalesce used to report as 1000000 (ADVICE r6).
+    val ev = Seq((1L, t(1), "a"), (1L, t(2), "c")).toDF("user", "ts", "etype")
+    val r = api.Events.funnel(ev, "user", "ts", "etype", Seq("a", "b", "c"))
+      .orderBy("step").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 0L, 0L))
+    assert(r.map(_.getLong(3)).toSeq == Seq(1000000L, 0L, 0L))
+  }
+
+  test("Profile.joinCardinality: disjoint key sets -> zero common, NULL max") {
+    val sp = spark
+    import sp.implicits._
+    val a = Seq(1L, 2L).toDF("ka")
+    val b = Seq(3L).toDF("kb")
+    val r = api.Profile.joinCardinality(a, "ka", b, "kb").collect()(0)
+    assert(r.getLong(r.fieldIndex("n_keys_a")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_keys_b")) == 1L)
+    // the final row derives from the 1-row totals frame, so no-overlap
+    // yields 0 shared keys (not an all-NULL row from an empty agg)
+    assert(r.getLong(r.fieldIndex("n_keys_common")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("join_rows")))
+    assert(r.isNullAt(r.fieldIndex("max_key_rows")))
+    assert(r.isNullAt(r.fieldIndex("top_key")))
+  }
+
   test("Text.invertedIndex: df band, bounded sorted postings") {
     val sp = spark
     import sp.implicits._
@@ -238,6 +268,38 @@ class Pipeline4Spec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n_kept")) == 19L)
     assert(math.abs(r.getDouble(r.fieldIndex("trimmed_mean"))
       - 209.0 / 19.0) < 1e-6)
+  }
+
+  test("Profile.trimmedMean approx: KLL bounds within the rank band") {
+    val sp = spark
+    import sp.implicits._
+    // 2000 distinct values per group: value i has true rank i/2000, so
+    // the KLL bound's quality is directly readable off the value. Two
+    // groups prove the bounds are computed per group.
+    val df = ((1 to 2000).map(i => ("g1", i.toDouble)) ++
+      (1 to 1000).map(i => ("g2", 10.0 * i))).toDF("grp", "v")
+    val rows = api.Profile.trimmedMean(df, "grp", "v", approx = true)
+      .collect().map(r => r.getString(r.fieldIndex("grp")) -> r).toMap
+    val g1 = rows("g1")
+    assert(g1.getLong(g1.fieldIndex("n")) == 2000L)
+    // k=200 normalized rank error ~1.65%; assert a 3% band. lo targets
+    // rank .05 -> value in [.02, .08]*2000; hi targets .95.
+    val lo1 = g1.getLong(g1.fieldIndex("lo_cents")) / 100.0
+    val hi1 = g1.getLong(g1.fieldIndex("hi_cents")) / 100.0
+    assert(lo1 >= 2000 * 0.02 && lo1 <= 2000 * 0.08, s"lo rank off: $lo1")
+    assert(hi1 >= 2000 * 0.92 && hi1 <= 2000 * 0.98, s"hi rank off: $hi1")
+    // kept fraction tracks hi-lo = 90% within the same band
+    val kept1 = g1.getLong(g1.fieldIndex("n_kept")).toDouble / 2000
+    assert(kept1 >= 0.84 && kept1 <= 0.96, s"kept fraction off: $kept1")
+    // the trimmed mean lands between the exact untrimmed extremes of
+    // the widest and narrowest admissible trims of 1..2000
+    val tm1 = g1.getDouble(g1.fieldIndex("trimmed_mean"))
+    assert(tm1 > 900 && tm1 < 1100, s"trimmed mean off: $tm1")
+    // per-group: g2's bounds scale with its own values (10*i,
+    // i=1..1000 — rank p sits at value 10000p)
+    val g2 = rows("g2")
+    val lo2 = g2.getLong(g2.fieldIndex("lo_cents")) / 100.0
+    assert(lo2 >= 10000 * 0.02 && lo2 <= 10000 * 0.08, s"g2 lo rank off: $lo2")
   }
 
   test("Profile.corpusOverlap: hand-computed shingle sets") {
