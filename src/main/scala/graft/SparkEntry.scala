@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Pipeline2,
     operators.Pipeline3,
     operators.Pipeline4,
+    operators.Pipeline5,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -1237,6 +1237,89 @@ object Profile {
           .as("jaccard_ppm"))
   }
 
+  /** END-TO-END corpus-pipeline report — the composition check for the
+    * stages a training-data pipeline chains: length gate → blocklist →
+    * repetition filter → near-dup dedup (MinHash candidates → connected
+    * components, cluster representative survives) → benchmark
+    * decontamination vs an external probe set. Emits one row PER STAGE:
+    * (stage, stage_name, n_in, n_kept, n_dropped) — row-conserving by
+    * construction (n_in = n_kept + n_dropped; stage i+1's n_in = stage
+    * i's n_kept), which is where composed operator contracts actually
+    * break (double-counted drops, survivors resurrected by a later
+    * join).
+    *
+    * Each stage survivor frame is localCheckpoint'ed (eager): the six
+    * stage counts and every downstream stage reuse the materialized
+    * frame instead of re-executing the whole upstream chain per count
+    * (the report would otherwise cost O(stages²) scans). At 100 TB a
+    * production run materializes each stage to storage (the StoreOps
+    * pattern) and this report is the bookkeeping emitted alongside;
+    * every stage is individually scale-shaped (broadcast blocklist
+    * probe, per-doc aggs, banded MinHash — never a pair space, probe
+    * grams broadcast). */
+  def pipelineReport(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, probes: DataFrame,
+      perms: Seq[(Int, Long, Long)], minTokens: Long = 25L,
+      maxBlockHits: Long = 5L, maxDupTokenPpm: Long = 650000L,
+      minMatches: Int = 8, gramK: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .localCheckpoint(true)
+    def toks(df: DataFrame) = Text.tokens(df, "id", "txt")
+    // stage 1 — length gate: too-short docs carry no signal
+    val nTok = toks(base).groupBy("id").agg(count(lit(1)).as("n_tok"))
+    val s1 = base.join(nTok.where(col("n_tok") >= minTokens).select("id"),
+      Seq("id")).localCheckpoint(true)
+    // stage 2 — blocklist: drop docs with >= maxBlockHits blocked-token
+    // occurrences (occurrence threshold, not any-hit: one stray word in
+    // a long doc is noise, a saturated doc is spam)
+    val blocked = toks(s1)
+      .join(broadcast(blocklist
+        .select(col(blocklist.columns.head).as("token"))), "token")
+      .groupBy("id").agg(count(lit(1)).as("n_blocked"))
+      .where(col("n_blocked") >= maxBlockHits)
+    val s2 = s1.join(blocked.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    // stage 3 — repetition gate (Gopher-style): duplicate-token mass
+    val repetitive = toks(s2).groupBy("id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum("c").as("n_tok"), count(lit(1)).as("nd_tok"))
+      .where(expr("(1000000 * (n_tok - nd_tok)) div n_tok")
+        > maxDupTokenPpm)
+    val s3 = s2.join(repetitive.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    // stage 4 — near-dup dedup: banded MinHash candidates -> min-label
+    // components; the cluster representative (min id) survives
+    val sig = Dedup.minhashSignatures(
+      Text.shingles(s3, "id", "txt"), "id", perms)
+    val members = Dedup.connectedComponents(
+        Dedup.minhashCandidates(sig, "id", minMatches).select("d1", "d2"))
+      .where(col("node") =!= col("label"))
+      .select(col("node").as("id"))
+    val s4 = s3.join(members, Seq("id"), "left_anti").localCheckpoint(true)
+    // stage 5 — decontamination: drop survivors sharing a gramK-gram
+    // with the external probe/benchmark set
+    def grams(df: DataFrame) = Text.shingles(df, "id", "txt", gramK)
+      .withColumnRenamed("shingle", "gram")
+    val contaminated = Dedup.contamination(grams(s4),
+        grams(probes.select(col(idCol).as("id"), col(textCol).as("txt"))),
+        "id")
+      .select(col("train_id").as("id")).distinct()
+    val s5 = s4.join(contaminated, Seq("id"), "left_anti")
+    val stages = Seq(("input", base), ("length", s1), ("blocklist", s2),
+      ("repetition", s3), ("neardup", s4), ("decontaminate", s5))
+    val counts = stages.zipWithIndex.map { case ((nm, df), i) =>
+      df.agg(count(lit(1)).as("n_kept"))
+        .select(lit(i.toLong).as("stage"), lit(nm).as("stage_name"),
+          col("n_kept"))
+    }.reduce(_.unionAll(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+    counts
+      .withColumn("n_in", lag(col("n_kept"), 1).over(w))
+      .where(col("stage") >= 1)
+      .select(col("stage"), col("stage_name"), col("n_in"), col("n_kept"),
+        (col("n_in") - col("n_kept")).as("n_dropped"))
+  }
+
   /** OUTPUT-SHARD balance report: assign each row to one of `nShards`
     * output shards by the engine-neutral multiplicative hash of its id
     * (the stable assignment a shard writer would use — a re-run or a

@@ -302,6 +302,41 @@ class Pipeline4Spec extends AnyFunSuite {
     assert(lo2 >= 10000 * 0.02 && lo2 <= 10000 * 0.08, s"g2 lo rank off: $lo2")
   }
 
+  test("Profile.pipelineReport: one planted drop per stage, rows conserved") {
+    val sp = spark
+    import sp.implicits._
+    // one doc engineered to fall at each stage: A short, B blocklisted,
+    // C repetitive, E near-dup of D, F contaminated by the probe set;
+    // D and G survive the whole pipeline.
+    val docs = Seq(
+      (1L, "one two three"),                                      // A: 3 < 5 tokens
+      (2L, "bad bad x1 x2 x3 x4 x5 x6"),                          // B: 2 blocked hits
+      (3L, "rep rep rep rep rep rep rep rep"),                    // C: 875000 ppm dup
+      (4L, "the quick brown fox jumps over that lazy dog today"), // D: survivor (rep of E)
+      (5L, "the quick brown fox jumps over that lazy dog today"), // E: dup of D
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota"), // F: probe 8-gram
+      (7L, "completely different content with no overlap at all here"))
+      .toDF("id", "body")
+    val probes = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta extra"))
+      .toDF("id", "body")
+    val block = Seq("bad").toDF("word")
+    val r = api.Profile.pipelineReport(docs, "id", "body", block, probes,
+        operators.TextOps.permTable, minTokens = 5L, maxBlockHits = 2L,
+        maxDupTokenPpm = 500000L)
+      .orderBy("stage").collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("length", "blocklist",
+      "repetition", "neardup", "decontaminate"))
+    assert(r.map(_.getLong(3)).toSeq == Seq(6L, 5L, 4L, 3L, 2L)) // n_kept
+    // row conservation: n_in - n_kept = n_dropped, and each stage's
+    // n_in is the previous stage's n_kept
+    r.foreach { x =>
+      assert(x.getLong(2) - x.getLong(3) == x.getLong(4), s"not conserved: $x") }
+    assert(r.head.getLong(2) == 7L)
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(3), "stages must chain") }
+  }
+
   test("Profile.corpusOverlap: hand-computed shingle sets") {
     val sp = spark
     import sp.implicits._
