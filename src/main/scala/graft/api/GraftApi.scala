@@ -95,6 +95,66 @@ object Text {
           .as("tfidf"))
   }
 
+  /** BPE MERGE-PAIR LEARNING — the tokenizer-training step after
+    * [[collocations]]/vocab counting: starting from characters, run
+    * `k` rounds of "merge the corpus-wide most frequent adjacent
+    * symbol pair" (count DESC, then (left, right) ASC — a total order,
+    * so every round's winner is engine-neutral). Output: one row per
+    * learned merge, (merge_idx, lhs, rhs, pair_count), in merge order
+    * — the ranked merge list IS the BPE tokenizer artifact a pipeline
+    * ships.
+    *
+    * State is the distinct-WORD frequency table (vocabulary-sized,
+    * never corpus-sized — the one full-corpus pass is the initial word
+    * count): each word is a space-delimited symbol string, and a
+    * round's merge is ONE left-to-right non-overlapping string-replace
+    * pass of " l r " -> " lr " (Spark UTF8String.replace and DuckDB
+    * replace share this exact scan, so the twins stay byte-identical;
+    * a same-round chain like [a,a,a,a] re-merges next round). Pair
+    * counts weight each word by its corpus frequency and count
+    * OVERLAPPING adjacencies. Each round is a vocab-sized hash agg +
+    * TakeOrdered(1) + a 1-row driver collect that parameterizes the
+    * next round's replace — the same bounded-driver-state shape as
+    * [[Dedup.connectedComponents]]'s convergence probe; rounds
+    * localCheckpoint so round k never re-executes rounds 1..k-1. */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    var cur = tokens(docs, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), array_join(expr(
+          "transform(sequence(1, length(token)), i -> substring(token, i, 1))"),
+          " "), lit(" ")).as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to k if !exhausted) {
+      val top = cur
+        .select(col("freq"),
+          expr("filter(split(syms, ' '), x -> x <> '')").as("a"))
+        .where(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "j -> struct(a[j-1] AS l, a[j] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i.toLong, l, r, cnt))
+        cur = cur
+          .withColumn("syms",
+            replace(col("syms"), lit(s" $l $r "), lit(s" $l$r ")))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_idx", "lhs", "rhs", "pair_count")
+  }
+
   /** Horner polynomial hash of a string column, base 131 mod 1e9+7 —
     * a pure projection usable as a distributed id assignment (no vocab
     * table, no global sort). Engine-neutral: integer-identical to a

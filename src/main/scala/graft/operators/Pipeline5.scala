@@ -33,10 +33,60 @@ object Pipeline5 extends graft.QueryModule {
       .orderBy("stage")
   }
 
+  /** BPE merge learning over the documents corpus: 20 rounds of
+    * most-frequent-adjacent-pair merging from characters up
+    * (graft.api.Text.bpeTrain) — the learned merge list is the
+    * tokenizer artifact. */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.api.Text.bpeTrain(Tables.documents(s, dir), "doc_id", "text",
+        k = 20)
+      .orderBy("merge_idx")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pipeline_corpus" -> pipelineCorpus)
+    "q_pipeline_corpus" -> pipelineCorpus,
+    "q_text_bpe_train" -> textBpeTrain)
+
+  /** The k-round BPE chain as k generated CTE blocks: w{i} is the
+    * symbolized vocabulary after i merges, m{i} the round-i winner.
+    * Same pair counting (overlapping adjacencies, word-frequency
+    * weighted), same total order, same single-pass replace. */
+  private def bpeOracle(k: Int): String = {
+    // w{i}/m{i} MATERIALIZED: w{i-1} is referenced twice per round
+    // (pair counting + the replace), so DuckDB's default CTE inlining
+    // would expand the chain 2^k-fold (observed as an fd explosion on
+    // the parquet scan before the fix).
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (SELECT (u).l AS l, (u).r AS r, SUM(freq) AS cnt FROM (
+        |  SELECT unnest([{'l': a[j], 'r': a[j+1]}
+        |                 for j in range(1, len(a))]) AS u, freq
+        |  FROM (SELECT list_filter(str_split(syms, ' '), x -> x <> '') AS a,
+        |               freq FROM w${i - 1})
+        |  WHERE len(a) >= 2) GROUP BY 1, 2),
+        |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
+        |        ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |w$i AS MATERIALIZED (SELECT replace(syms, ' ' || l || ' ' || r || ' ',
+        |                       ' ' || l || r || ' ') AS syms, freq
+        |        FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT $i AS merge_idx, l, r, cnt FROM m$i").mkString("\n  UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+      |  SELECT ' ' || array_to_string(
+      |    [substring(token, i, 1) for i in range(1, length(token)+1)], ' ')
+      |    || ' ' AS syms, COUNT(*) AS freq
+      |  FROM (SELECT t AS token FROM
+      |          (SELECT unnest(str_split(lower(text), ' ')) AS t
+      |           FROM documents) WHERE t <> '')
+      |  GROUP BY token),
+      |$rounds
+      |SELECT CAST(merge_idx AS BIGINT) AS merge_idx, l AS lhs, r AS rhs,
+      |  CAST(cnt AS BIGINT) AS pair_count
+      |FROM (  $out )
+      |ORDER BY merge_idx""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_bpe_train" -> bpeOracle(20),
     "q_pipeline_corpus" ->
       s"""WITH RECURSIVE
         |input AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),

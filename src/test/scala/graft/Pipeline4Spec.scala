@@ -337,6 +337,36 @@ class Pipeline4Spec extends AnyFunSuite {
       assert(b.getLong(2) == a.getLong(3), "stages must chain") }
   }
 
+  test("Text.bpeTrain: hand-computed merges, count/tie order, early stop") {
+    val sp = spark
+    import sp.implicits._
+    // word freqs cat:4, car:3, at:1 — merges are fully hand-computable:
+    // (c,a):7 -> (ca,t):4 -> (ca,r):3 -> (a,t):1, then the symbol pool
+    // is exhausted and round 5 must stop early (4 rows, not k).
+    val docs = Seq((1L, "cat cat cat"), (2L, "car car"), (3L, "cat car at"))
+      .toDF("id", "body")
+    val r = api.Text.bpeTrain(docs, "id", "body", k = 5)
+      .orderBy("merge_idx").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, "c", "a", 7L), (2L, "ca", "t", 4L),
+      (3L, "ca", "r", 3L), (4L, "a", "t", 1L)))
+  }
+
+  test("Text.bpeTrain: single-pass replace semantics on symbol runs") {
+    val sp = spark
+    import sp.implicits._
+    // "aaaa": round 1 counts the OVERLAPPING (a,a) adjacency 3 times but
+    // the single left-to-right replace pass yields [aa, a, a] (the
+    // trailing run re-merges in later rounds) — pinned here because the
+    // oracle's replace must scan identically.
+    val docs = Seq((1L, "aaaa")).toDF("id", "body")
+    val r = api.Text.bpeTrain(docs, "id", "body", k = 5)
+      .orderBy("merge_idx").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, "a", "a", 3L), (2L, "a", "a", 1L),
+      (3L, "aa", "aa", 1L)))
+  }
+
   test("Profile.corpusOverlap: hand-computed shingle sets") {
     val sp = spark
     import sp.implicits._
