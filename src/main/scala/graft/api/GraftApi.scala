@@ -598,6 +598,29 @@ object Dedup {
     * row_number window partitioned by that hash (group sizes = dup
     * multiplicity, tiny), then one hash-agg back on the doc id. Never
     * materializes a doc-to-doc pair space. */
+  /** Per-row chunk hashes — the STATELESS projection form of chunk
+    * dedup's front half: each doc's (lowercased, empty-dropped) tokens
+    * packed into `w`-word chunks, one output row per chunk with its
+    * md5. No groupBy/window anywhere, so it runs unchanged on a
+    * STREAMING frame (the ingestion side: arriving docs chunk-hash
+    * themselves, then anti-join the stored corpus chunk-hash frame —
+    * the chunk-level twin of [[rowMinhashSig]]'s topology; see
+    * StreamingSpec). Unlike [[chunkDedup]], which buckets by raw token
+    * ordinal, chunks here are packed from the FILTERED token sequence
+    * (exactly `w` tokens per chunk except the tail).
+    * Output: (idCol, chunk_idx, chunk_md5). */
+  def chunkSplit(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 32): DataFrame =
+    docs
+      .withColumn("__l",
+        expr(s"filter(split(lower($textCol), ' '), x -> x <> '')"))
+      .where(size(col("__l")) >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, (size(__l) - 1) div $w), " +
+          s"c -> array_join(slice(__l, c * $w + 1, $w), ' '))")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        md5(col("col")).as("chunk_md5"))
+
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 32): DataFrame = {
     val toks = Text.tokens(docs, idCol, textCol)

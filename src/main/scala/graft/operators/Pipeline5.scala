@@ -42,9 +42,48 @@ object Pipeline5 extends graft.QueryModule {
         k = 20)
       .orderBy("merge_idx")
 
+  /** Corpus chunk-hash frame (doc_id % 5 != 0 — the q_dedup_incremental
+    * corpus split), STORED to parquet once per (session, sfDir): the
+    * one-time ingest product the incremental chunk dedup anti-joins.
+    * Distinct hashes only — the membership set, not the postings. */
+  private[graft] def ensureCorpusChunks(s: SparkSession, dir: String): String = {
+    val out = graft.sources.Store.scopedPath(s, dir, "corpus_chunks")
+    graft.sources.Store.writeOnce(s, out) {
+      graft.api.Dedup.chunkSplit(
+          Tables.documents(s, dir).where(pmod(col("doc_id"), lit(5)) =!= 0),
+          "doc_id", "text", 32)
+        .select("chunk_md5").distinct()
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** Incremental CHUNK dedup — the arrival-time form of q_dedup_chunk:
+    * the new batch (doc_id % 5 == 0) chunk-hashes itself
+    * (graft.api.Dedup.chunkSplit, a stateless projection) and probes
+    * the STORED corpus chunk-hash frame; a chunk is new iff its hash
+    * is absent. Per new doc: (n_chunks, n_new, new_ppm). The streaming
+    * twin of the same plan (stream-static anti-join) is asserted in
+    * StreamingSpec. */
+  def dedupChunkIncremental(s: SparkSession, dir: String): DataFrame = {
+    val stored = s.read.parquet(ensureCorpusChunks(s, dir))
+      .withColumn("seen", lit(1L))
+    graft.api.Dedup.chunkSplit(
+        Tables.documents(s, dir).where(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", 32)
+      .join(stored, Seq("chunk_md5"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_new"))
+      .select(col("doc_id"), col("n_chunks"), col("n_new"),
+        expr("(1000000 * n_new) div n_chunks").as("new_ppm"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_corpus" -> pipelineCorpus,
-    "q_text_bpe_train" -> textBpeTrain)
+    "q_text_bpe_train" -> textBpeTrain,
+    "q_dedup_chunk_incremental" -> dedupChunkIncremental)
 
   /** The k-round BPE chain as k generated CTE blocks: w{i} is the
     * symbolized vocabulary after i merges, m{i} the round-i winner.
@@ -87,6 +126,23 @@ object Pipeline5 extends graft.QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "q_text_bpe_train" -> bpeOracle(20),
+    "q_dedup_chunk_incremental" ->
+      """WITH ch AS (SELECT doc_id, c AS chunk_idx,
+        |         md5(array_to_string(l[c*32+1 : c*32+32], ' ')) AS h
+        |       FROM (SELECT doc_id,
+        |               list_filter(str_split(lower(text), ' '),
+        |                 x -> x <> '') AS l
+        |             FROM documents),
+        |            unnest(range(0, (len(l)-1)//32 + 1)) t(c)
+        |       WHERE len(l) >= 1),
+        |corpus AS (SELECT DISTINCT h FROM ch WHERE doc_id % 5 <> 0),
+        |neu AS (SELECT ch.doc_id, ch.h, (corpus.h IS NOT NULL) AS seen
+        |        FROM ch LEFT JOIN corpus USING (h) WHERE ch.doc_id % 5 = 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+        |  CAST((1000000 * SUM(CASE WHEN seen THEN 0 ELSE 1 END))
+        |    // COUNT(*) AS BIGINT) AS new_ppm
+        |FROM neu GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pipeline_corpus" ->
       s"""WITH RECURSIVE
         |input AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),

@@ -226,6 +226,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming incremental CHUNK dedup (stream-static anti-join) == batch") {
+    // the arrival-time form of q_dedup_chunk_incremental: new docs
+    // chunk-hash themselves (Dedup.chunkSplit — a stateless projection,
+    // no groupBy/window) and anti-join the stored corpus chunk-hash
+    // frame; the surviving (doc, chunk) rows from a two-batch stream
+    // must equal the batch anti-join on the same split.
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val docs = Tables.documents(spark, dir)
+    val newDocs = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val corpusChunks = api.Dedup.chunkSplit(
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", 32)
+      .select("chunk_md5").distinct().cache()
+    def pipeline(df: DataFrame): DataFrame =
+      api.Dedup.chunkSplit(df, "doc_id", "text", 32)
+        .join(corpusChunks, Seq("chunk_md5"), "left_anti")
+        .select("doc_id", "chunk_idx", "chunk_md5")
+    val data = newDocs.select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[Doc]
+    val q = pipeline(mem.toDF()).writeStream.format("memory")
+      .queryName("t_chunkdedup").outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = data.splitAt(data.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val batch = pipeline(newDocs)
+      assert(sp.table("t_chunkdedup").count() > 0,
+        "new docs must contribute at least one unseen chunk")
+      assertSame(sp.table("t_chunkdedup").cache(), batch)
+    } finally {
+      q.stop()
+      corpusChunks.unpersist()
+    }
+  }
+
   test("watermark drops events later than 10 minutes behind max ts") {
     val sp = spark
     import sp.implicits._
