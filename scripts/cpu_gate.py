@@ -1,14 +1,26 @@
 #!/usr/bin/env python3
-"""Per-query CPU regression gate (VERDICT r5 task 7).
+"""Per-query CPU regression gate (VERDICT r5 task 7; protocol r7).
 
 Usage: python3 scripts/cpu_gate.py [bench_queries.json] [budgets.json]
 
 Compares a bench run's per-query CPU (the "cpu" map Bench.scala writes
 to bench_queries.json) against the committed budgets in
-scripts/cpu_budgets.json (recorded from a quiet run at round close).
+scripts/cpu_budgets.json (recorded at round close).
 FAILS (exit 1) if any query exceeds 2x its budget — so a hotspot like
 r5's q_win_topk_group (3x its r3 cost, landed silently) trips the gate
 instead of surfacing two rounds later in a verdict.
+
+MEASUREMENT PROTOCOL (round 7): both sides of the compare are
+min-CPU-over-two-consecutive-in-process-runs — Bench.scala runs the
+query map twice and records the per-query min, and budgets are that
+same map from the round-close run. Rationale: the host's selective
+throttle inflates single CPU readings 1.5-2.5x on byte-identical code
+(BASELINE.md variance section); r6's gate read a single-run recording
+against quiet budgets and failed on 12 queries no commit had touched.
+A min-of-two reading only stays inflated when the throttle spans both
+runs, so a FAIL from this gate is a plan regression until proven
+otherwise, not weather. Budget-file keys starting with "_" are
+protocol metadata, not budgets.
 
 Queries with no budget (new this round) are listed as warnings; record
 them into the budget file at round close. Sub-0.2-CPU-s budgets are
@@ -31,7 +43,8 @@ def main():
     with open(bench_path) as f:
         bench = json.load(f)
     with open(budget_path) as f:
-        budgets = json.load(f)
+        budgets = {k: v for k, v in json.load(f).items()
+                   if not k.startswith("_")}
     cpu = bench.get("cpu", {})
     if not cpu:
         print("FAIL: bench file has no per-query cpu map")

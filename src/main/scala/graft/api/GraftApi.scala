@@ -1209,10 +1209,21 @@ object Profile {
     * worst key + its contribution, and that key's share in ppm. */
   def joinCardinality(a: DataFrame, aKey: String,
       b: DataFrame, bKey: String): DataFrame = {
+    // localCheckpoint (eager) all three support-sized frames: ca/cb
+    // feed the key join AND the side key-counts, contrib feeds the
+    // totals agg, the min-key-of-max subaggregate, and the final
+    // projection — without the cuts each consumer re-runs the
+    // corpus-scale count-aggs (measured ~6.0 CPU-s uncut vs ~3.2 cut
+    // at sf0.1 once the r7 edge-case fix added a third contrib
+    // consumer). All three are one row per (shared) key, never
+    // row-sized.
     val ca = a.groupBy(col(aKey).as("key")).agg(count(lit(1)).as("cnt_a"))
+      .localCheckpoint(true)
     val cb = b.groupBy(col(bKey).as("key")).agg(count(lit(1)).as("cnt_b"))
+      .localCheckpoint(true)
     val contrib = ca.join(cb, "key")
       .select(col("key"), (col("cnt_a") * col("cnt_b")).as("rows_k"))
+      .localCheckpoint(true)
     val tot = contrib.agg(count(lit(1)).as("n_keys_common"),
       sum("rows_k").as("join_rows"), max("rows_k").as("max_key_rows"))
     val sides = ca.agg(count(lit(1)).as("n_keys_a")).crossJoin(
@@ -1331,49 +1342,66 @@ object Profile {
     * break (double-counted drops, survivors resurrected by a later
     * join).
     *
-    * Each stage survivor frame is localCheckpoint'ed (eager): the six
-    * stage counts and every downstream stage reuse the materialized
-    * frame instead of re-executing the whole upstream chain per count
-    * (the report would otherwise cost O(stages²) scans). At 100 TB a
-    * production run materializes each stage to storage (the StoreOps
-    * pattern) and this report is the bookkeeping emitted alongside;
-    * every stage is individually scale-shaped (broadcast blocklist
-    * probe, per-doc aggs, banded MinHash — never a pair space, probe
-    * grams broadcast). */
+    * Plan shape: stages 1-3 gate on per-doc metrics that all come out
+    * of ONE tokenize pass (the metrics frame and the stage-3/4 survivor
+    * frames localCheckpoint eagerly, so the six stage counts and the
+    * downstream stages never re-execute the upstream chain — the
+    * report would otherwise cost O(stages²) corpus scans). Stage 4
+    * accepts the STORED signature frame via `precomputedSigs` (a doc's
+    * signature is corpus-independent) and then touches only stage-3
+    * survivor ids. At 100 TB a production run materializes each stage
+    * to storage (the StoreOps pattern) and this report is the
+    * bookkeeping emitted alongside; every stage is individually
+    * scale-shaped (broadcast blocklist probe, per-doc aggs, banded
+    * MinHash — never a pair space, probe grams broadcast). */
   def pipelineReport(docs: DataFrame, idCol: String, textCol: String,
       blocklist: DataFrame, probes: DataFrame,
       perms: Seq[(Int, Long, Long)], minTokens: Long = 25L,
       maxBlockHits: Long = 5L, maxDupTokenPpm: Long = 650000L,
-      minMatches: Int = 8, gramK: Int = 8): DataFrame = {
+      minMatches: Int = 8, gramK: Int = 8,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
       .localCheckpoint(true)
-    def toks(df: DataFrame) = Text.tokens(df, "id", "txt")
+    // Stages 1-3 gate on PER-DOC metrics (token count, blocked-token
+    // occurrences, duplicate-token mass) — subset-invariant, so all
+    // three come out of ONE tokenize pass over the input instead of one
+    // per stage (measured 3 corpus explodes -> 1; the gates themselves
+    // become filters on this doc-sized checkpointed frame).
+    val metrics = Text.tokens(base, "id", "txt")
+      .join(broadcast(blocklist
+        .select(col(blocklist.columns.head).as("token"))
+        .withColumn("__b", lit(1L))), Seq("token"), "left")
+      .groupBy("id", "token")
+      .agg(count(lit(1)).as("c"), max("__b").as("b"))
+      .groupBy("id")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("nd_tok"),
+        sum(when(col("b") === 1L, col("c")).otherwise(0L)).as("n_blocked"))
+      .localCheckpoint(true)
     // stage 1 — length gate: too-short docs carry no signal
-    val nTok = toks(base).groupBy("id").agg(count(lit(1)).as("n_tok"))
-    val s1 = base.join(nTok.where(col("n_tok") >= minTokens).select("id"),
-      Seq("id")).localCheckpoint(true)
+    val s1ids = metrics.where(col("n_tok") >= minTokens)
     // stage 2 — blocklist: drop docs with >= maxBlockHits blocked-token
     // occurrences (occurrence threshold, not any-hit: one stray word in
     // a long doc is noise, a saturated doc is spam)
-    val blocked = toks(s1)
-      .join(broadcast(blocklist
-        .select(col(blocklist.columns.head).as("token"))), "token")
-      .groupBy("id").agg(count(lit(1)).as("n_blocked"))
-      .where(col("n_blocked") >= maxBlockHits)
-    val s2 = s1.join(blocked.select("id"), Seq("id"), "left_anti")
-      .localCheckpoint(true)
+    val s2ids = s1ids.where(col("n_blocked") < maxBlockHits)
     // stage 3 — repetition gate (Gopher-style): duplicate-token mass
-    val repetitive = toks(s2).groupBy("id", "token")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(sum("c").as("n_tok"), count(lit(1)).as("nd_tok"))
-      .where(expr("(1000000 * (n_tok - nd_tok)) div n_tok")
-        > maxDupTokenPpm)
-    val s3 = s2.join(repetitive.select("id"), Seq("id"), "left_anti")
-      .localCheckpoint(true)
+    val s3ids = s2ids.where(
+      expr("(1000000 * (n_tok - nd_tok)) div n_tok") <= maxDupTokenPpm)
+    // only stage 3's survivors need their text again (stage 4/5 shingle
+    // them); stages 1-2 are counted off the metrics frame directly
+    val s3 = base.join(s3ids.select("id"), Seq("id")).localCheckpoint(true)
     // stage 4 — near-dup dedup: banded MinHash candidates -> min-label
-    // components; the cluster representative (min id) survives
-    val sig = Dedup.minhashSignatures(
-      Text.shingles(s3, "id", "txt"), "id", perms)
+    // components; the cluster representative (min id) survives. A doc's
+    // signature is corpus-independent, so when the ingest product
+    // already exists (`precomputedSigs`: (idCol, perm, minh) — e.g. the
+    // stored full-corpus frame) the stage semi-joins it on the stage-3
+    // survivor ids instead of re-shingling the corpus.
+    val sig = precomputedSigs match {
+      case Some(st) => st
+        .select(col(idCol).as("id"), col("perm"), col("minh"))
+        .join(s3ids.select("id"), "id")
+      case None => Dedup.minhashSignatures(
+        Text.shingles(s3, "id", "txt"), "id", perms)
+    }
     val members = Dedup.connectedComponents(
         Dedup.minhashCandidates(sig, "id", minMatches).select("d1", "d2"))
       .where(col("node") =!= col("label"))
@@ -1388,7 +1416,7 @@ object Profile {
         "id")
       .select(col("train_id").as("id")).distinct()
     val s5 = s4.join(contaminated, Seq("id"), "left_anti")
-    val stages = Seq(("input", base), ("length", s1), ("blocklist", s2),
+    val stages = Seq(("input", base), ("length", s1ids), ("blocklist", s2ids),
       ("repetition", s3), ("neardup", s4), ("decontaminate", s5))
     val counts = stages.zipWithIndex.map { case ((nm, df), i) =>
       df.agg(count(lit(1)).as("n_kept"))

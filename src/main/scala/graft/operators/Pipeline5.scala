@@ -28,8 +28,11 @@ object Pipeline5 extends graft.QueryModule {
     val train = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
     val probes = docs.where(pmod(col("doc_id"), lit(7)) === 0)
     val block = Seq("slow", "error").toDF("word")
+    // the near-dup stage reads the STORED full-corpus signatures (the
+    // one-time ingest product) instead of re-shingling the survivors
+    val sigs = s.read.parquet(TextOps.ensureFullSigs(s, dir))
     graft.api.Profile.pipelineReport(train, "doc_id", "text", block,
-        probes, TextOps.permTable)
+        probes, TextOps.permTable, precomputedSigs = Some(sigs))
       .orderBy("stage")
   }
 
