@@ -95,6 +95,52 @@ object Text {
           .as("tfidf"))
   }
 
+  /** BIGRAM-LM PERPLEXITY scoring — the CCNet-style quality filter: a
+    * Laplace-smoothed bigram language model is trained on the corpus
+    * itself (transition counts + vocabulary size, all exact integers)
+    * and every doc is scored by its average negative log transition
+    * probability nll = -(1/T) Σ ln((c(w1,w2)+1) / (c(w1,·)+V)) — docs
+    * whose nll sits far above the corpus band read as noise/boilerplate
+    * and get dropped by the filter stage. Docs with < 2 tokens have no
+    * transitions and are absent from the output.
+    *
+    * Determinism: each transition's log-prob is ln of the SAME exact
+    * rational on both engines; the per-doc total is a LEFT FOLD over
+    * the ord-sorted transition list (collect_list + array_sort +
+    * aggregate here, list(ORDER BY) + list_reduce in the oracle), so
+    * the double summation has ONE defined order — a plain SUM would
+    * let engine-side accumulation order perturb the 6th decimal on
+    * round-boundary docs (§2.0.2).
+    *
+    * 100 TB: the LM tables are support-sized (bigram counts, keyed
+    * shuffle; first-word totals derived FROM the bigram table;
+    * vocabulary size a 1-row broadcast); scoring is one equi-join pass
+    * over the transitions; the fold state is bounded by doc length.
+    * Output: (idCol, n_transitions, nll). */
+  def perplexityScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = tokens(docs, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("ord")
+    val bi = tok
+      .withColumn("w2", lead(col("token"), 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col(idCol), col("ord"), col("token").as("w1"), col("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val v = tok.agg(countDistinct(col("token")).as("v"))
+    bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        expr("aggregate(array_sort(collect_list(struct(ord, lp))), " +
+          "cast(0 as double), (a, x) -> a + x.lp)").as("s"))
+      .select(col(idCol), col("n_transitions"),
+        round(-col("s") / col("n_transitions"), 6).as("nll"))
+  }
+
   /** BPE MERGE-PAIR LEARNING — the tokenizer-training step after
     * [[collocations]]/vocab counting: starting from characters, run
     * `k` rounds of "merge the corpus-wide most frequent adjacent
@@ -153,6 +199,35 @@ object Text {
     }
     import spark.implicits._
     merges.result().toDF("merge_idx", "lhs", "rhs", "pair_count")
+  }
+
+  /** BPE ENCODE with a learned merge list ([[bpeTrain]]'s artifact, in
+    * merge order) — the apply side of the tokenizer lifecycle: every
+    * whitespace token is symbolized to characters and the merges run
+    * in order as a CHAINED single-pass-replace projection (one corpus
+    * scan, no joins, no state; same scan semantics bpeTrain pinned).
+    * Per doc: whitespace tokens, total BPE pieces, and
+    * pieces-per-token in exact ppm — the fertility statistic a
+    * tokenizer report quotes.
+    * Output: (idCol, ws_tokens, bpe_pieces, fertility_ppm). */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tok = tokens(docs, idCol, textCol)
+    val sym0 = concat(lit(" "), array_join(expr(
+      "transform(sequence(1, length(token)), i -> substring(token, i, 1))"),
+      " "), lit(" "))
+    val encoded = merges.foldLeft(sym0) { case (c, (l, r)) =>
+      replace(c, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    tok
+      .withColumn("syms", encoded)
+      .select(col(idCol),
+        expr("size(filter(split(syms, ' '), x -> x <> ''))")
+          .cast("long").as("pieces"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("ws_tokens"), sum("pieces").as("bpe_pieces"))
+      .select(col(idCol), col("ws_tokens"), col("bpe_pieces"),
+        expr("(1000000 * bpe_pieces) div ws_tokens").as("fertility_ppm"))
   }
 
   /** Horner polynomial hash of a string column, base 131 mod 1e9+7 —

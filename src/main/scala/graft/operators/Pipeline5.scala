@@ -36,14 +36,46 @@ object Pipeline5 extends graft.QueryModule {
       .orderBy("stage")
   }
 
+  /** ONE learned merge list per (session, sfDir), shared by
+    * q_text_bpe_train (which emits it) and q_text_bpe_apply (which
+    * encodes with it) — the trained tokenizer is a per-dataset
+    * artifact like the shared KMeans fit (VectorOps.kmeansTarget):
+    * deterministic (total-order winner per round), so sharing cannot
+    * change either query's output. */
+  private val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, Long)]]()
+
+  private def learnedMerges(s: SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] =
+    mergeMemo.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir,
+      _ => graft.api.Text.bpeTrain(Tables.documents(s, dir), "doc_id",
+          "text", k = 20)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq)
+
   /** BPE merge learning over the documents corpus: 20 rounds of
     * most-frequent-adjacent-pair merging from characters up
     * (graft.api.Text.bpeTrain) — the learned merge list is the
     * tokenizer artifact. */
-  def textBpeTrain(s: SparkSession, dir: String): DataFrame =
-    graft.api.Text.bpeTrain(Tables.documents(s, dir), "doc_id", "text",
-        k = 20)
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    learnedMerges(s, dir).toDF("merge_idx", "lhs", "rhs", "pair_count")
       .orderBy("merge_idx")
+  }
+
+  /** BPE ENCODE with the learned merges — the apply side of the
+    * tokenizer lifecycle: every token is symbolized to characters and
+    * the 20 learned merges run IN MERGE ORDER as a chained
+    * single-pass-replace projection (one corpus scan, no joins; the
+    * exact scan semantics bpeTrain pinned). Per doc: whitespace tokens,
+    * total BPE pieces, and pieces-per-token in exact ppm — the
+    * fertility statistic a tokenizer report quotes. */
+  def textBpeApply(s: SparkSession, dir: String): DataFrame =
+    graft.api.Text.bpeApply(Tables.documents(s, dir), "doc_id", "text",
+        learnedMerges(s, dir).map { case (_, l, r, _) => (l, r) })
+      .orderBy("doc_id")
 
   /** Corpus chunk-hash frame (doc_id % 5 != 0 — the q_dedup_incremental
     * corpus split), STORED to parquet once per (session, sfDir): the
@@ -83,16 +115,29 @@ object Pipeline5 extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM perplexity scores over documents
+    * (graft.api.Text.perplexityScore) — the CCNet-style quality filter:
+    * Laplace-smoothed transition model trained on the corpus itself,
+    * per-doc average negative log prob. */
+  def textPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.api.Text.perplexityScore(Tables.documents(s, dir), "doc_id",
+        "text")
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_corpus" -> pipelineCorpus,
     "q_text_bpe_train" -> textBpeTrain,
+    "q_text_bpe_apply" -> textBpeApply,
+    "q_text_perplexity" -> textPerplexity,
     "q_dedup_chunk_incremental" -> dedupChunkIncremental)
 
   /** The k-round BPE chain as k generated CTE blocks: w{i} is the
     * symbolized vocabulary after i merges, m{i} the round-i winner.
     * Same pair counting (overlapping adjacencies, word-frequency
-    * weighted), same total order, same single-pass replace. */
-  private def bpeOracle(k: Int): String = {
+    * weighted), same total order, same single-pass replace. Shared by
+    * the train oracle (emits m1..mk) and the apply oracle (encodes
+    * with them). */
+  private def bpeCtes(k: Int): String = {
     // w{i}/m{i} MATERIALIZED: w{i-1} is referenced twice per round
     // (pair counting + the replace), so DuckDB's default CTE inlining
     // would expand the chain 2^k-fold (observed as an fd explosion on
@@ -110,9 +155,7 @@ object Pipeline5 extends graft.QueryModule {
         |                       ' ' || l || r || ' ') AS syms, freq
         |        FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to k).map(i =>
-      s"SELECT $i AS merge_idx, l, r, cnt FROM m$i").mkString("\n  UNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
       |  SELECT ' ' || array_to_string(
       |    [substring(token, i, 1) for i in range(1, length(token)+1)], ' ')
       |    || ' ' AS syms, COUNT(*) AS freq
@@ -120,15 +163,73 @@ object Pipeline5 extends graft.QueryModule {
       |          (SELECT unnest(str_split(lower(text), ' ')) AS t
       |           FROM documents) WHERE t <> '')
       |  GROUP BY token),
-      |$rounds
-      |SELECT CAST(merge_idx AS BIGINT) AS merge_idx, l AS lhs, r AS rhs,
-      |  CAST(cnt AS BIGINT) AS pair_count
-      |FROM (  $out )
-      |ORDER BY merge_idx""".stripMargin
+      |$rounds""".stripMargin
+  }
+
+  private def bpeOracle(k: Int): String = {
+    val out = (1 to k).map(i =>
+      s"SELECT $i AS merge_idx, l, r, cnt FROM m$i").mkString("\n  UNION ALL ")
+    // plain concatenation — an outer stripMargin would re-strip the
+    // `||` concatenation lines inside the already-stripped CTE block
+    "WITH " + bpeCtes(k) + "\n" +
+      "SELECT CAST(merge_idx AS BIGINT) AS merge_idx, l AS lhs, r AS rhs,\n" +
+      "  CAST(cnt AS BIGINT) AS pair_count\n" +
+      s"FROM (  $out )\n" +
+      "ORDER BY merge_idx"
+  }
+
+  /** Apply oracle: the same trained chain, then every token encoded by
+    * the k merges in order (nested single-pass replaces parameterized
+    * by scalar subqueries on the materialized 1-row m{i} CTEs). */
+  private def bpeApplyOracle(k: Int): String = {
+    val enc = (1 to k).foldLeft("s0") { (acc, i) =>
+      s"replace($acc, ' ' || (SELECT l FROM m$i) || ' ' || " +
+        s"(SELECT r FROM m$i) || ' ', ' ' || (SELECT l FROM m$i) || " +
+        s"(SELECT r FROM m$i) || ' ')"
+    }
+    // plain concatenation — see bpeOracle
+    "WITH " + bpeCtes(k) + ",\n" +
+      "tok AS (SELECT doc_id, t AS token FROM\n" +
+      "          (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t\n" +
+      "           FROM documents) WHERE t <> ''),\n" +
+      "sym AS (SELECT doc_id, ' ' || array_to_string(\n" +
+      "          [substring(token, i, 1) for i in range(1, length(token)+1)],\n" +
+      "          ' ') || ' ' AS s0\n" +
+      "        FROM tok),\n" +
+      "enc AS (SELECT doc_id,\n" +
+      s"          len(list_filter(str_split($enc, ' '), x -> x <> ''))\n" +
+      "            AS pieces\n" +
+      "        FROM sym)\n" +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tokens,\n" +
+      "  CAST(SUM(pieces) AS BIGINT) AS bpe_pieces,\n" +
+      "  CAST((1000000 * SUM(pieces)) // COUNT(*) AS BIGINT)\n" +
+      "    AS fertility_ppm\n" +
+      "FROM enc GROUP BY doc_id ORDER BY doc_id"
   }
 
   def oracleSql: Map[String, String] = Map(
     "q_text_bpe_train" -> bpeOracle(20),
+    "q_text_bpe_apply" -> bpeApplyOracle(20),
+    "q_text_perplexity" ->
+      """WITH tok AS (SELECT doc_id, s AS ord, tokens[s] AS token
+        |  FROM (SELECT doc_id, tokens,
+        |          unnest(range(1, len(tokens)+1)) AS s
+        |        FROM (SELECT doc_id, str_split(lower(text), ' ') AS tokens
+        |              FROM documents))
+        |  WHERE tokens[s] <> ''),
+        |bi AS (SELECT doc_id, ord, token AS w1,
+        |         lead(token) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        |       FROM tok),
+        |bi2 AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi2 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT token) AS v FROM tok)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |  ROUND(-list_reduce(
+        |      list(ln((c12 + 1) / CAST(c1 + v AS DOUBLE)) ORDER BY ord),
+        |      (a, b) -> a + b) / COUNT(*), 6) AS nll
+        |FROM bi2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_chunk_incremental" ->
       """WITH ch AS (SELECT doc_id, c AS chunk_idx,
         |         md5(array_to_string(l[c*32+1 : c*32+32], ' ')) AS h

@@ -367,6 +367,53 @@ class Pipeline4Spec extends AnyFunSuite {
       (3L, "aa", "aa", 1L)))
   }
 
+  test("Text.bpeApply: learned merges collapse known words, fertility pinned") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "cat cat cat"), (2L, "car car"), (3L, "cat car at"))
+      .toDF("id", "body")
+    val merges = api.Text.bpeTrain(docs, "id", "body", k = 5)
+      .orderBy("merge_idx").collect()
+      .map(x => (x.getString(1), x.getString(2))).toSeq
+    // the 4 learned merges fully collapse every corpus word
+    val r = api.Text.bpeApply(docs, "id", "body", merges)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 3L, 3L, 1000000L), (2L, 2L, 2L, 1000000L),
+      (3L, 3L, 3L, 1000000L)))
+    // an unseen word falls back to finer pieces: "cab" shares only the
+    // (c,a) merge -> [ca, b] = 2 pieces
+    val r2 = api.Text.bpeApply(Seq((9L, "cab")).toDF("id", "body"), "id",
+        "body", merges)
+      .collect()(0)
+    assert(r2.getLong(2) == 2L)
+  }
+
+  test("Text.perplexityScore: hand-computed bigram nll, short docs absent") {
+    val sp = spark
+    import sp.implicits._
+    // corpus: "a b", "a c", "x" -> V = 4 (a,b,c,x); bigram counts
+    // (a,b)=1, (a,c)=1; first-word total c(a,.)=2. Both scored docs:
+    // nll = -ln((1+1)/(2+4)) = ln(3). The 1-token doc has no
+    // transitions and is absent.
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "x")).toDF("id", "body")
+    val r = api.Text.perplexityScore(docs, "id", "body")
+      .orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    r.foreach { x =>
+      assert(x.getLong(1) == 1L)
+      assert(math.abs(x.getDouble(2) - math.log(3.0)) < 1e-6)
+    }
+    // a repeated transition is cheaper than a rare one: in
+    // "a b a b a c" the (a,b) transition outnumbers (a,c)
+    val d2 = Seq((1L, "a b a b a c"), (2L, "a b"), (3L, "a c"))
+      .toDF("id", "body")
+    val probs = api.Text.perplexityScore(d2, "id", "body")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(probs(2L) < probs(3L),
+      s"frequent-transition doc must score lower nll: $probs")
+  }
+
   test("Profile.corpusOverlap: hand-computed shingle sets") {
     val sp = spark
     import sp.implicits._
