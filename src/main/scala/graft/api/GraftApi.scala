@@ -1016,9 +1016,68 @@ object Events {
           .otherwise(expr("(1000000 * users) div prev_users")))
       .drop("prev_users")
   }
+
+  /** COHORT RETENTION matrix — the other core product-analytics view
+    * next to [[funnel]]: users are cohorted by the DATE of their first
+    * `anchorType` event (e.g. signup), and each later active day
+    * counts toward (cohort_day, day_offset). Sparse output — only
+    * observed offsets appear. Output: (cohort_day, day_offset,
+    * active_users, cohort_size, retention_ppm).
+    *
+    * 100 TB: first-anchor is one filtered min-agg per user; activity
+    * is a distinct projection (user, date); the join is user-keyed
+    * (never day-expanded); cohort sizes are a support-sized frame.
+    * No windows, no sorts. */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, anchorType: String): DataFrame = {
+    val cohort = events.where(col(typeCol) === anchorType)
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+    val activity = events
+      .select(col(userCol), to_date(col(tsCol)).as("d")).distinct()
+    val sizes = cohort.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.join(cohort, userCol)
+      .where(col("d") >= col("cohort_day"))
+      .select(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("active_users"),
+        col("cohort_size"),
+        expr("(1000000 * active_users) div cohort_size")
+          .as("retention_ppm"))
+  }
 }
 
 object Rel {
+
+  /** Z-ORDER value of two bounded non-negative integer columns — the
+    * data-LAYOUT operator a 100 TB write pipeline clusters by: sorting
+    * rows by the bit-interleaved z-value before writing gives every
+    * parquet row group a tight min/max envelope on BOTH dimensions, so
+    * later scans filtering on either column (or both) prune row groups
+    * instead of reading them. Inputs must lie in [0, 2^bits); the
+    * z-value is a sum of 2*bits integer terms — pure int64 arithmetic
+    * (div/%/literal powers, no shift builtins), identical on any
+    * engine. */
+  def zorderValue(xCol: String, yCol: String, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(s"(($xCol div ${1L << i}) % 2) * ${1L << (2 * i)}",
+        s"(($yCol div ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    }
+    expr(terms.mkString(" + "))
+  }
+
+  /** The same z-value term sum as ANSI SQL (DuckDB `//`), for oracle
+    * twins of [[zorderValue]]. */
+  def zorderSql(xCol: String, yCol: String, bits: Int = 16): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"(($xCol // ${1L << i}) % 2) * ${1L << (2 * i)}",
+        s"(($yCol // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
 
   /** Bloom-prefiltered exact equi-join: builds a bloom filter over the
     * dim keys (one aggregation action, like a broadcast build), drops

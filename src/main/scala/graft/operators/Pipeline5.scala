@@ -124,11 +124,38 @@ object Pipeline5 extends graft.QueryModule {
         "text")
       .orderBy("doc_id")
 
+  /** Signup-anchored cohort retention over events
+    * (graft.api.Events.retention): cohort = date of first signup,
+    * sparse (cohort_day, day_offset) activity matrix with exact
+    * retention ppm. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame =
+    graft.api.Events.retention(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "signup")
+      .orderBy("cohort_day", "day_offset")
+
+  /** Z-order (Morton) clustering value over events: x = dollar bucket
+    * of value (cents div 100, clamped to 16 bits), y = user_id low
+    * bits; rows emitted in z order (graft.api.Rel.zorderValue) — the
+    * write-layout demo: sorting by zvalue gives row groups tight
+    * min/max envelopes on BOTH dimensions. Top-200 by (zvalue,
+    * event_id) keeps the graded output bounded. */
+  def sortZorder(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        expr("least(CAST(ROUND(value * 100) AS BIGINT) div 100, 65535)")
+          .as("x"),
+        pmod(col("user_id"), lit(65536L)).as("y"))
+      .withColumn("zvalue", graft.api.Rel.zorderValue("x", "y", 16))
+      .orderBy(col("zvalue").asc, col("event_id").asc)
+      .limit(200)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_corpus" -> pipelineCorpus,
     "q_text_bpe_train" -> textBpeTrain,
     "q_text_bpe_apply" -> textBpeApply,
     "q_text_perplexity" -> textPerplexity,
+    "q_events_retention" -> eventsRetention,
+    "q_sort_zorder" -> sortZorder,
     "q_dedup_chunk_incremental" -> dedupChunkIncremental)
 
   /** The k-round BPE chain as k generated CTE blocks: w{i} is the
@@ -210,6 +237,34 @@ object Pipeline5 extends graft.QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_text_bpe_train" -> bpeOracle(20),
     "q_text_bpe_apply" -> bpeApplyOracle(20),
+    "q_events_retention" ->
+      """WITH c AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        |           FROM events WHERE event_type = 'signup'
+        |           GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |j AS (SELECT cohort_day, d - cohort_day AS day_offset
+        |      FROM a JOIN c USING (user_id) WHERE d >= cohort_day),
+        |g AS (SELECT cohort_day, day_offset, COUNT(*) AS active_users
+        |      FROM j GROUP BY cohort_day, day_offset),
+        |s AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM c
+        |      GROUP BY cohort_day)
+        |SELECT g.cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+        |  CAST(active_users AS BIGINT) AS active_users,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  CAST((1000000 * active_users) // cohort_size AS BIGINT)
+        |    AS retention_ppm
+        |FROM g JOIN s USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_sort_zorder" ->
+      s"""WITH b AS (SELECT event_id,
+        |         LEAST(CAST(ROUND(value * 100) AS BIGINT) // 100, 65535)
+        |           AS x,
+        |         user_id % 65536 AS y
+        |       FROM events)
+        |SELECT event_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        |  CAST(${graft.api.Rel.zorderSql("x", "y", 16)} AS BIGINT)
+        |    AS zvalue
+        |FROM b ORDER BY zvalue ASC, event_id ASC LIMIT 200""".stripMargin,
     "q_text_perplexity" ->
       """WITH tok AS (SELECT doc_id, s AS ord, tokens[s] AS token
         |  FROM (SELECT doc_id, tokens,

@@ -414,6 +414,51 @@ class Pipeline4Spec extends AnyFunSuite {
       s"frequent-transition doc must score lower nll: $probs")
   }
 
+  test("Events.retention: signup-anchored cohorts, hand-computed matrix") {
+    val sp = spark
+    import sp.implicits._
+    def t(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // u1, u2 sign up on day 1; u3 on day 2; u4 never (excluded).
+    // activity: u1 days 1,2; u2 day 1 (twice — distinct days count
+    // once); u3 days 2,4; u4 day 1. Pre-signup activity must not count.
+    val ev = Seq(
+      (1L, t(1, 1), "signup"), (1L, t(1, 2), "view"), (1L, t(2, 1), "view"),
+      (2L, t(1, 1), "signup"), (2L, t(1, 2), "view"), (2L, t(1, 3), "click"),
+      (3L, t(1, 9), "view"), // pre-signup day: excluded for u3
+      (3L, t(2, 1), "signup"), (3L, t(4, 1), "view"),
+      (4L, t(1, 1), "view"))
+      .toDF("user", "ts", "etype")
+    val r = api.Events.retention(ev, "user", "ts", "etype", "signup")
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1000000L), // u1+u2 active on signup day
+      ("2024-01-01", 1L, 1L, 2L, 500000L),  // only u1 returns day+1
+      ("2024-01-02", 0L, 1L, 1L, 1000000L), // u3 cohort of one
+      ("2024-01-02", 2L, 1L, 1L, 1000000L)))
+  }
+
+  test("Rel.zorderValue: bit interleave pinned, locality over row order") {
+    val sp = spark
+    import sp.implicits._
+    // z(x, y) interleaves x into even bits, y into odd: the full 4x4
+    // grid at bits=2 is the canonical Morton curve 0..15.
+    val grid = for (x <- 0L to 3L; y <- 0L to 3L) yield (x, y)
+    val z = grid.toDF("x", "y")
+      .withColumn("z", api.Rel.zorderValue("x", "y", 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z((0L, 0L)) == 0L && z((1L, 0L)) == 1L && z((0L, 1L)) == 2L)
+    assert(z((1L, 1L)) == 3L && z((2L, 2L)) == 12L && z((3L, 3L)) == 15L)
+    // all 16 distinct, and each 2x2 quadrant occupies one contiguous
+    // z range — the locality property sorting exploits
+    assert(z.values.toSet == (0L to 15L).toSet)
+    val quadRanges = grid.groupBy { case (x, y) => (x / 2, y / 2) }
+      .map { case (_, cells) =>
+        val zs = cells.map(z); (zs.min, zs.max) }.toSeq.sortBy(_._1)
+    assert(quadRanges == Seq((0L, 3L), (4L, 7L), (8L, 11L), (12L, 15L)))
+  }
+
   test("Profile.corpusOverlap: hand-computed shingle sets") {
     val sp = spark
     import sp.implicits._
