@@ -115,4 +115,21 @@ object PropertySpec extends Properties("graft.arithmetic") {
       java.lang.Double.doubleToLongBits(dot.asInstanceOf[Double]) ==
         java.lang.Double.doubleToLongBits(expect)
     }
+
+  // The z-order term sum (Rel.zorderValue / zorderSql share this exact
+  // div/% arithmetic) is a BIJECTION [0,2^b)² -> [0,4^b): deinterleave
+  // recovers both inputs — the property that makes min/max pruning on
+  // either dimension sound after z-sorting.
+  private def zMirror(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).map { i =>
+      ((x / (1L << i)) % 2) * (1L << (2 * i)) +
+        ((y / (1L << i)) % 2) * (1L << (2 * i + 1))
+    }.sum
+  property("zorder term sum round-trips (bijection)") =
+    forAll(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)) { (x, y) =>
+      val z = zMirror(x, y, 16)
+      val xBack = (0 until 16).map(i => ((z / (1L << (2 * i))) % 2) << i).sum
+      val yBack = (0 until 16).map(i => ((z / (1L << (2 * i + 1))) % 2) << i).sum
+      z >= 0 && z < (1L << 32) && xBack == x && yBack == y
+    }
 }
