@@ -173,4 +173,36 @@ class PlanShapeSpec extends AnyFunSuite {
     val partialIdx = plan.indexOf("row_number(), 3, Partial")
     assert(winIdx >= 0 && exIdx > winIdx && partialIdx > exIdx, plan)
   }
+
+  test("q_sort_zorder fuses to TakeOrderedAndProject (no global sort)") {
+    // the z-value is a pure term-sum projection; the top-200 must be
+    // TakeOrdered (per-partition heads + merge), never a full Sort —
+    // at 100 TB a global sort here would dwarf the projection.
+    val plan = physical("q_sort_zorder")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q_events_retention is agg/join-only: no window, no cartesian") {
+    val plan = physical("q_events_retention")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the cohort-size attach is a broadcast of the support-sized frame
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q_text_bpe_apply is one projection pass: no join, no window") {
+    // the 20 learned merges run as a chained replace INSIDE the
+    // projection — joining a merge table per round would be 20 shuffles
+    val plan = physical("q_text_bpe_apply")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q_agg_trimmed_kll has no sort window (the 100 TB trim path)") {
+    val plan = physical("q_agg_trimmed_kll")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("graft_kll_agg") ||
+      plan.contains("KllSketchAgg"), plan)
+  }
 }
