@@ -60,7 +60,7 @@ object Bench {
     // the one-time file layout (VERDICT r4 task 6).
     Seq("q_join_bucketed", "q_source_partitioned_roundtrip",
         "q_source_csv_roundtrip", "q_source_json_roundtrip",
-        "q_source_orc_roundtrip",
+        "q_source_orc_roundtrip", "q_source_xml_roundtrip",
         // store-once artifacts: the fine sketch table and the corpus /
         // full-corpus MinHash signatures are one-time ingest products —
         // warm them so the timed pass measures the stored-frame

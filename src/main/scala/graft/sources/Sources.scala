@@ -78,6 +78,20 @@ object Sources extends graft.QueryModule {
     s.read.orc(out).orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Same via XML — Spark 4's built-in XML source (one `row` element
+    * per record under a `rows` root). Re-read with the explicit schema
+    * like the other text formats; rowTag is the only knob the reader
+    * needs. The oracle is the same source-of-truth SQL. */
+  def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Store.scopedPath(s, dir, "xml_roundtrip")
+    Store.writeOnce(s, out) {
+      sample(s, dir).write.mode("overwrite")
+        .option("rootTag", "rows").option("rowTag", "row").xml(out)
+    }
+    s.read.schema(roundtripSchema).option("rowTag", "row").xml(out)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Raw TEXT lines — the format raw corpora actually arrive in: one
     * doc per line as `id<TAB>text`, written with .text() and re-read
     * with spark.read.text + a split projection. Fixture docs are
@@ -111,6 +125,7 @@ object Sources extends graft.QueryModule {
     "q_source_csv_roundtrip" -> csvRoundtrip,
     "q_source_json_roundtrip" -> jsonRoundtrip,
     "q_source_orc_roundtrip" -> orcRoundtrip,
+    "q_source_xml_roundtrip" -> xmlRoundtrip,
     "q_source_text_roundtrip" -> textRoundtrip)
 
   def oracleSql: Map[String, String] = Map(
@@ -126,6 +141,7 @@ object Sources extends graft.QueryModule {
     "q_source_csv_roundtrip" -> sampleSql,
     "q_source_json_roundtrip" -> sampleSql,
     "q_source_orc_roundtrip" -> sampleSql,
+    "q_source_xml_roundtrip" -> sampleSql,
     "q_source_text_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id")
 }
