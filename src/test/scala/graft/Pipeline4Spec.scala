@@ -367,6 +367,30 @@ class Pipeline4Spec extends AnyFunSuite {
       (3L, "aa", "aa", 1L)))
   }
 
+  test("Dedup.chunkSplit: packed chunks, short tail, md5 of joined text") {
+    val sp = spark
+    import sp.implicits._
+    // 9 tokens at w=4 -> chunks of 4/4/1; chunk text is the space-join
+    // of exactly the packed tokens (pinned via a known md5)
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "x")).toDF("id", "body")
+    val r = api.Dedup.chunkSplit(docs, "id", "body", 4)
+      .orderBy("id", "chunk_idx").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.length == 4)
+    assert(r.map(x => (x._1, x._2)).toSeq ==
+      Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    val md5abcd = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r(0)._3 == md5abcd)
+    // identical chunk text in different docs hashes identically (the
+    // dedup key property)
+    val again = api.Dedup.chunkSplit(
+      Seq((9L, "a b c d")).toDF("id", "body"), "id", "body", 4)
+      .collect()(0).getString(2)
+    assert(again == md5abcd)
+  }
+
   test("Text.bpeApply: learned merges collapse known words, fertility pinned") {
     val sp = spark
     import sp.implicits._

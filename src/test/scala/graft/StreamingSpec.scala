@@ -263,6 +263,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming perplexity scoring (stream-static LM join) == batch") {
+    // quality filtering at INGEST: the bigram LM (c12/c1/V) is trained
+    // offline on the stored corpus; arriving docs extract their own
+    // transitions statelessly (per-row HOF, no window), join the
+    // static count frames, and aggregate their own nll in Complete
+    // mode. Must equal batch Text.perplexityScore on the same docs.
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val docs = Tables.documents(spark, dir)
+    val tok = api.Text.tokens(docs, "doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("ord")
+    val c12 = tok.withColumn("w2", lead(col("token"), 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("token").as("w1"), col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12")).cache()
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1")).cache()
+    val vocabV = tok.agg(countDistinct(col("token")).as("v")).cache()
+    def pipeline(df: DataFrame): DataFrame = df
+      .withColumn("l", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .where(size(col("l")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> struct(l[i-1] AS w1, l[i] AS w2))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("ord"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+      .join(c12, Seq("w1", "w2"))          // stream-static, stateless
+      .join(c1, Seq("w1"))                 // stream-static, stateless
+      .crossJoin(broadcast(vocabV))
+      .withColumn("lp",
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        expr("aggregate(array_sort(collect_list(struct(ord, lp))), " +
+          "cast(0 as double), (a, x) -> a + x.lp)").as("s"))
+      .select(col("doc_id"), col("n_transitions"),
+        round(-col("s") / col("n_transitions"), 6).as("nll"))
+    val data = docs.select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[Doc]
+    val q = pipeline(mem.toDF()).writeStream.format("memory")
+      .queryName("t_ppl").outputMode(OutputMode.Complete()).start()
+    try {
+      val (a, b) = data.splitAt(data.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val batch = api.Text.perplexityScore(docs, "doc_id", "text")
+      assertSame(sp.table("t_ppl").cache(), batch)
+    } finally {
+      q.stop()
+      c12.unpersist(); c1.unpersist(); vocabV.unpersist()
+    }
+  }
+
   test("watermark drops events later than 10 minutes behind max ts") {
     val sp = spark
     import sp.implicits._
