@@ -1071,6 +1071,35 @@ object Rel {
     expr(terms.mkString(" + "))
   }
 
+  /** PURE range join (no shared equi-key) via TIME-BUCKETING — the
+    * scale plan for point-in-interval joins where neither side offers
+    * an equi-key: a naive `p.ts BETWEEN i.start AND i.end` join plans
+    * as a nested-loop cross product (every point against every
+    * interval). Here both sides key on coarse time buckets of width
+    * `bucketMicros`: each point lands in exactly ONE bucket, each
+    * interval explodes to the buckets it overlaps (sequence — an
+    * interval costs ceil(len/W)+1 rows), the join is a plain shuffle
+    * EQUI-join on the bucket, and the exact (open, closed]
+    * `start < ts <= end` predicate filters residually. No pair is
+    * duplicated (a point has one bucket), none is missed (its
+    * interval's bucket list covers that bucket). Size `bucketMicros`
+    * near the typical interval length: smaller buckets replicate
+    * intervals, larger ones admit more residual candidates.
+    * Output: all columns of both inputs for the matching pairs
+    * (caller disambiguates column names). */
+  def rangeJoinBucketed(points: DataFrame, pTs: String,
+      intervals: DataFrame, iStart: String, iEnd: String,
+      bucketMicros: Long): DataFrame = {
+    val p = points.withColumn("__b",
+      expr(s"unix_micros($pTs) div $bucketMicros"))
+    val i = intervals.withColumn("__b", explode(expr(
+      s"sequence(unix_micros($iStart) div $bucketMicros, " +
+        s"unix_micros($iEnd) div $bucketMicros)")))
+    p.join(i, "__b")
+      .where(col(pTs) > col(iStart) && col(pTs) <= col(iEnd))
+      .drop("__b")
+  }
+
   /** The same z-value term sum as ANSI SQL (DuckDB `//`), for oracle
     * twins of [[zorderValue]]. */
   def zorderSql(xCol: String, yCol: String, bits: Int = 16): String =

@@ -149,7 +149,27 @@ object Pipeline5 extends graft.QueryModule {
       .orderBy(col("zvalue").asc, col("event_id").asc)
       .limit(200)
 
+  /** Cross-user incident correlation — a PURE range join (no equi-key
+    * on either side): for every error event, how many events ANYWHERE
+    * in the system fired within the following 60 seconds
+    * (graft.api.Rel.rangeJoinBucketed, 60 s buckets). The naive plan
+    * is a nested-loop cross product; the bucketed plan is one shuffle
+    * equi-join on the time bucket. */
+  def joinRangeBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"),
+        (col("ts") + expr("INTERVAL 60 SECONDS")).as("err_end"))
+    val points = ev.select(col("event_id").as("ev_id"), col("ts"))
+    graft.api.Rel.rangeJoinBucketed(points, "ts", errs, "err_ts",
+        "err_end", 60L * 1000000L)
+      .groupBy("err_id")
+      .agg(count(lit(1)).as("n_within_60s"))
+      .orderBy("err_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_range_bucketed" -> joinRangeBucketed,
     "q_pipeline_corpus" -> pipelineCorpus,
     "q_text_bpe_train" -> textBpeTrain,
     "q_text_bpe_apply" -> textBpeApply,
@@ -237,6 +257,14 @@ object Pipeline5 extends graft.QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_text_bpe_train" -> bpeOracle(20),
     "q_text_bpe_apply" -> bpeApplyOracle(20),
+    "q_join_range_bucketed" ->
+      """SELECT e.event_id AS err_id, CAST(COUNT(*) AS BIGINT)
+        |    AS n_within_60s
+        |FROM (SELECT event_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |JOIN events p
+        |  ON p.ts > e.ts AND p.ts <= e.ts + INTERVAL 60 SECOND
+        |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
     "q_events_retention" ->
       """WITH c AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
         |           FROM events WHERE event_type = 'signup'

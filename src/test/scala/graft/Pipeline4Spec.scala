@@ -483,6 +483,40 @@ class Pipeline4Spec extends AnyFunSuite {
     assert(quadRanges == Seq((0L, 3L), (4L, 7L), (8L, 11L), (12L, 15L)))
   }
 
+  test("Rel.rangeJoinBucketed == naive range join, boundaries pinned") {
+    val sp = spark
+    import sp.implicits._
+    def t(s: Int) = new Timestamp(s * 1000L)
+    // intervals spanning <1, exactly 1, and >2 buckets at W = 60 s;
+    // points at the open start (excluded), closed end (included),
+    // inside, and far outside
+    val intervals = Seq(
+      (10L, t(30), t(50)),    // inside one bucket
+      (11L, t(50), t(110)),   // crosses one boundary
+      (12L, t(10), t(200)))   // spans 4 buckets
+      .toDF("iid", "start", "end")
+    val points = Seq(
+      (1L, t(30)),   // == start of 10: open bound, excluded there
+      (2L, t(50)),   // == end of 10 (in), == start of 11 (out)
+      (3L, t(110)),  // == end of 11 (in), inside 12
+      (4L, t(500)))  // outside everything
+      .toDF("pid", "ts")
+    val got = api.Rel.rangeJoinBucketed(points, "ts", intervals,
+        "start", "end", 60L * 1000000L)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals,
+        col("ts") > col("start") && col("ts") <= col("end"))
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"bucketed $got != naive $naive")
+    assert(got == Set((1L, 12L), (2L, 10L), (2L, 12L), (3L, 11L), (3L, 12L)))
+    // and no pair appears twice (a point has exactly one bucket)
+    val rows = api.Rel.rangeJoinBucketed(points, "ts", intervals,
+      "start", "end", 60L * 1000000L).count()
+    assert(rows == naive.size.toLong)
+  }
+
   test("Profile.corpusOverlap: hand-computed shingle sets") {
     val sp = spark
     import sp.implicits._

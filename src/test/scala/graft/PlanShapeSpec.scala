@@ -199,6 +199,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q_join_range_bucketed is a bucket EQUI-join, never a nested loop") {
+    // the whole point of the operator: without the bucket key this
+    // no-equi-key range join plans as BroadcastNestedLoopJoin
+    val plan = physical("q_join_range_bucketed")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join") && plan.contains("__b"), plan)
+  }
+
   test("q_agg_trimmed_kll has no sort window (the 100 TB trim path)") {
     val plan = physical("q_agg_trimmed_kll")
     assert(!plan.contains("Window"), plan)
