@@ -26,6 +26,7 @@ object SparkEntry {
     operators.Pipeline3,
     operators.Pipeline4,
     operators.Pipeline5,
+    operators.Pipeline6,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

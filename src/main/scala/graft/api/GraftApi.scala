@@ -715,6 +715,42 @@ object Dedup {
       .select(col(idCol), col("n_chunks"), col("n_kept"),
         expr("(1000000 * n_kept) div n_chunks").as("kept_ppm"))
   }
+
+  /** Blocked FUZZY-DUPLICATE pairs by EDIT DISTANCE — the
+    * record-linkage rung between exact dedup (hash equality) and
+    * set-based near-dup (MinHash/Jaccard, which ignores token ORDER):
+    * two docs pair when the Levenshtein distance of their
+    * `prefixLen`-char prefixes is <= `maxDist`. All-pairs edit
+    * distance is an O(n^2) cross product; here candidates are
+    * restricted to equal BLOCKS (`block`, e.g. language + a coarse
+    * length bucket — true near-identical texts cannot disagree much
+    * on either), so pair generation is a self-EQUI-join on the block
+    * key and the O(prefixLen^2) DP runs only inside blocks. Output:
+    * (a_id, b_id, lev) with a_id < b_id.
+    *
+    * 100 TB: one shuffle of each (id, prefix) projection on the block
+    * key — never the full text; block granularity bounds the
+    * quadratic term (size buckets so blocks stay ~100s of rows, and
+    * skewed blocks split by a salt on a secondary feature). The probe
+    * side is explicitly REPARTITIONED on the block key so the pair
+    * stage parallelizes across blocks even when the input arrives in
+    * one scan partition, and the DP runs BANDED (Spark's thresholded
+    * `levenshtein` — O(maxDist*L) per pair, -1 past the bound,
+    * instead of the full O(L^2) table). */
+  def fuzzyPairs(docs: DataFrame, idCol: String, textCol: String,
+      block: Column, prefixLen: Int, maxDist: Int): DataFrame = {
+    val a = docs.select(col(idCol).as("a_id"), block.as("__blk"),
+      substring(col(textCol), 1, prefixLen).as("__pa"))
+      .repartition(col("__blk"))
+    val b = docs.select(col(idCol).as("b_id"), block.as("__blk"),
+      substring(col(textCol), 1, prefixLen).as("__pb"))
+    a.join(b, "__blk")
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("__pa"), col("__pb"), maxDist)
+          .cast("long").as("lev"))
+      .where(col("lev") >= 0L && col("lev") <= maxDist)
+  }
 }
 
 object Vec {
@@ -1048,6 +1084,43 @@ object Events {
         col("cohort_size"),
         expr("(1000000 * active_users) div cohort_size")
           .as("retention_ppm"))
+  }
+
+  /** Hourly GAP-FILL + FORWARD-FILL — the resampling step that turns
+    * an irregular event stream into the dense per-key time series a
+    * monitoring dashboard or feature pipeline consumes: each key gets
+    * one row per hour between its first and last event (quiet hours
+    * included, n_events = 0), and `ffill_max` carries the last
+    * observed hourly max of `valCol` forward across the gaps. The
+    * hourly max (not avg) is the filled statistic because max is
+    * accumulation-order-insensitive — bit-identical across engines.
+    * Output: (key, hr, n_events, ffill_max).
+    *
+    * 100 TB: the raw stream collapses to per-(key, hour) partial aggs
+    * FIRST (map-side combine; at most 720 rows per key-month
+    * afterwards), the spine is a per-key `sequence` explode of the
+    * same bounded size, the join is a (key, hour) shuffle equi-join,
+    * and the forward-fill window partitions by key over <= 720 rows —
+    * no global sort, no unbounded state, skew capped by the spine
+    * arithmetic itself. */
+  def gapfillHourly(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val hourly = events
+      .select(col(keyCol), date_trunc("hour", col(tsCol)).as("hr"),
+        col(valCol).as("__v"))
+      .groupBy(col(keyCol), col("hr"))
+      .agg(count(lit(1)).as("n_events"), max("__v").as("hr_max"))
+    val spine = hourly.groupBy(col(keyCol))
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(col(keyCol),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("hr"))
+      .rowsBetween(Long.MinValue, 0)
+    spine.join(hourly, Seq(keyCol, "hr"), "left")
+      .select(col(keyCol), col("hr"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("hr_max"), ignoreNulls = true).over(w).as("ffill_max"))
   }
 }
 
@@ -1617,5 +1690,40 @@ object Profile {
         // overflows int64 past ~9.2e12 chars/tokens per shard.
         expr("cast((1000000 * cast(weight as decimal(38,0)))" +
           " div tot_w as bigint)").as("share_ppm"))
+  }
+
+  /** Per-group IQR-fence OUTLIER report (Tukey fences) — the
+    * data-quality profile that flags measurement glitches before they
+    * poison a training run: per group, exact p25/p75 set the fences
+    * lo = p25 - 1.5*IQR, hi = p75 + 1.5*IQR, and the second pass
+    * counts values strictly outside. Fences are ROUNDED to 6 dp
+    * before comparing so the classify step sees the same boundary on
+    * any engine (the quantile interpolation arithmetic is the only
+    * cross-engine wobble; §2.0.2). Output: (group, n, n_outliers,
+    * outlier_ppm, lo, hi).
+    *
+    * 100 TB: the quantile pass is one hash-agg per group (swap
+    * `percentile` for the KLL sketch when groups stop fitting a
+    * reducer — same plan shape, the [[trimmedMean]] approx pattern);
+    * the fence frame is |groups| rows, BROADCAST back — the classify
+    * pass is scan + broadcast-join + hash-agg, no shuffle of the fact
+    * side beyond the group agg. */
+  def iqrOutliers(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val fences = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, 0.25D)").as("p25"),
+        expr(s"percentile($valCol, 0.75D)").as("p75"))
+      .select(col(groupCol),
+        round(expr("p25 - 1.5 * (p75 - p25)"), 6).as("lo"),
+        round(expr("p75 + 1.5 * (p75 - p25)"), 6).as("hi"))
+    df.join(broadcast(fences), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valCol) < col("lo") || col(valCol) > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max("lo").as("lo"), max("hi").as("hi"))
+      .select(col(groupCol), col("n"), col("n_outliers"),
+        expr("(1000000 * n_outliers) div n").as("outlier_ppm"),
+        col("lo"), col("hi"))
   }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract tests for the round-7 closers (gap-fill/forward-fill,
+  * blocked Levenshtein fuzzy pairs, IQR outlier fences, equi-width
+  * histogram) on SYNTHETIC frames — fixture correctness is covered by
+  * the oracle gate; this ring pins the API semantics a user relies
+  * on. */
+class Pipeline6Spec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  test("Events.gapfillHourly: zero-filled gaps, max carried forward") {
+    val sp = spark
+    import sp.implicits._
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // u1: events in hours 0 (two: max 5.0) and 3 (one: 2.0) -> spine
+    // 0..3 with hours 1,2 zero-filled carrying 5.0; u2: single event.
+    val ev = Seq(
+      (1L, t(0, 10), 5.0), (1L, t(0, 50), 1.0), (1L, t(3, 0), 2.0),
+      (2L, t(7, 30), 9.0))
+      .toDF("user_id", "ts", "value")
+    val r = api.Events.gapfillHourly(ev, "user_id", "ts", "value")
+      .orderBy("user_id", "hr").collect()
+    assert(r.length == 5) // u1 hours 0-3, u2 hour 7
+    assert(r.map(_.getLong(2)).toSeq == Seq(2L, 0L, 0L, 1L, 1L))
+    assert(r.map(_.getDouble(3)).toSeq == Seq(5.0, 5.0, 5.0, 2.0, 9.0))
+    assert(r(1).getTimestamp(1) == Timestamp.valueOf("2024-01-01 01:00:00"))
+  }
+
+  test("Dedup.fuzzyPairs: blocking bounds candidates, threshold on lev") {
+    val sp = spark
+    import sp.implicits._
+    // docs 1,2 same block, 1 edit apart; doc 3 same block but far;
+    // doc 4 is NEAR-IDENTICAL to 1 yet in another block -> never paired
+    // (that is the documented blocking trade-off).
+    val docs = Seq(
+      (1L, "blk1", "abcdef"), (2L, "blk1", "abcxef"),
+      (3L, "blk1", "zzzzzz"), (4L, "blk2", "abcdef"))
+      .toDF("id", "blk", "body")
+    val r = api.Dedup.fuzzyPairs(docs, "id", "body", col("blk"),
+        prefixLen = 6, maxDist = 2)
+      .orderBy("a_id", "b_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 2L, 1L)))
+  }
+
+  test("Profile.iqrOutliers: hand-computed fences and strict bounds") {
+    val sp = spark
+    import sp.implicits._
+    // group g: values 1..9 plus outlier 101 -> n=10; sorted p25 at
+    // index 2.25 = 3.25, p75 at 6.75 -> 7.75+... compute: values
+    // (1,2,3,4,5,6,7,8,9,101): p25 = 3.25, p75 = 8.0+? idx=6.75 ->
+    // v[6]=7 + 0.75*(8-7) = 7.75; iqr = 4.5; lo = -3.5, hi = 14.5
+    // -> only 101 is outside; 9 < hi stays in.
+    val df = ((1 to 9).map(_.toDouble) :+ 101.0).map(("g", _))
+      .toDF("grp", "v")
+    val r = api.Profile.iqrOutliers(df, "grp", "v").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 10L)          // n
+    assert(r(0).getLong(2) == 1L)           // n_outliers
+    assert(r(0).getLong(3) == 100000L)      // outlier_ppm
+    assert(r(0).getDouble(4) == -3.5)       // lo
+    assert(r(0).getDouble(5) == 14.5)       // hi
+  }
+
+  test("q_agg_histogram: exact cents arithmetic buckets the boundary") {
+    // 4999.995 rounds to 500000 cents -> bucket 1, not 0; sums exact.
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(0.004, 4999.994, 4999.995, 5000.01, 10000.0)
+      .toDF("l_extendedprice")
+    val r = df
+      .select(expr("cast(round(l_extendedprice * 100) as bigint)")
+        .as("cents"))
+      .select(expr("cents div 500000").as("bucket"), col("cents"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_items"),
+        (sum("cents").cast("double") / 100).as("sum_price"))
+      .orderBy("bucket").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((0L, 2L), (1L, 2L), (2L, 1L)))
+    assert(r(0).getDouble(2) == 4999.99)
+    assert(r(1).getDouble(2) == 10000.01)
+    assert(r(2).getDouble(2) == 10000.0)
+  }
+}

@@ -208,6 +208,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Join") && plan.contains("__b"), plan)
   }
 
+  test("q_profile_outliers broadcasts the fence frame back to the scan") {
+    // the classify pass must be scan + BroadcastHashJoin + hash-agg;
+    // a sort-merge join would shuffle the whole fact side twice
+    val plan = physical("q_profile_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_dedup_levenshtein pairs via a block EQUI-join, not all-pairs") {
+    val plan = physical("q_dedup_levenshtein")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_agg_trimmed_kll has no sort window (the 100 TB trim path)") {
     val plan = physical("q_agg_trimmed_kll")
     assert(!plan.contains("Window"), plan)
