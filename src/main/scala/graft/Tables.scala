@@ -26,18 +26,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** events.ts is physical parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). With
-    * spark.sql.legacy.parquet.nanosAsLong=true (set by Verify/Bench/
-    * Smoke sessions) it arrives as Long nanos; all fixture values are
-    * µs-aligned (ns % 1000 == 0, probed), so integer-div to micros is
-    * exact and matches DuckDB's own ns->µs read of the same file. */
+  /** events.ts normalizer — absorbs fixture-schema drift so every
+    * downstream operator always sees `ts: TimestampType` (UTC session tz).
+    * Physical encodings seen across driver fixture generations:
+    *   - parquet TIMESTAMP(NANOS): Spark 4 refuses the timestamp read
+    *     ([PARQUET_TYPE_ILLEGAL]); with
+    *     spark.sql.legacy.parquet.nanosAsLong=true (set by Verify/Bench/
+    *     Smoke sessions) it arrives as Long nanos. Fixture values are
+    *     µs-aligned (ns % 1000 == 0, probed), so integer-div to micros
+    *     is exact and matches DuckDB's ns->µs read of the same file.
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (current
+    *     fixtures): Spark 4 reads TIMESTAMP_NTZ. Under the UTC session
+    *     timezone the cast to TimestampType is value-identical to
+    *     DuckDB's naive read, so all oracle SQL stays valid.
+    *   - already TimestampType: pass through.
+    * Every real user hits one of these the first time their parquet
+    * writer flips isAdjustedToUTC — this is the drift absorber. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = t(s, d, "events")
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -18,8 +18,9 @@ object Verify {
       // keep saveAsTable (bucketed-join demo) out of the repo even when
       // launched without build.sbt's javaOptions
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
-      // events.ts is parquet TIMESTAMP(NANOS) — read as Long nanos
-      // (Tables.events converts to µs timestamps; see Tables.scala).
+      // harmless with the current µs/NTZ fixtures; kept so ns-generation
+      // fixtures still read (as Long nanos — Tables.events normalizes
+      // every encoding to µs timestamps; see Tables.scala + TablesSpec).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1702,17 +1702,33 @@ object Profile {
     * cross-engine wobble; §2.0.2). Output: (group, n, n_outliers,
     * outlier_ppm, lo, hi).
     *
-    * 100 TB: the quantile pass is one hash-agg per group (swap
-    * `percentile` for the KLL sketch when groups stop fitting a
-    * reducer — same plan shape, the [[trimmedMean]] approx pattern);
-    * the fence frame is |groups| rows, BROADCAST back — the classify
-    * pass is scan + broadcast-join + hash-agg, no shuffle of the fact
-    * side beyond the group agg. */
+    * `approx` is the 100 TB dial (the [[trimmedMean]] pattern).
+    * false (the oracle-checked default): exact `percentile` — whose
+    * per-group aggregation state is EVERY value of the group on one
+    * reducer; fine while groups fit, the scale-killer when one event
+    * type is 1/5 of a 100 TB table. true: p25/p75 from the KLL sketch
+    * (functions.KllExprs) — one hash agg with map-side partial merge,
+    * bounded state (~k*log n per group), quantiles are retained
+    * stream values within the KLL rank band (~±1.65% of rank at
+    * k=200). Fence arithmetic, rounding, broadcast-back classify are
+    * identical in both paths; Pipeline6Spec bounds approx-vs-exact
+    * fence drift by the band. */
   def iqrOutliers(df: DataFrame, groupCol: String,
-      valCol: String): DataFrame = {
-    val fences = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valCol, 0.25D)").as("p25"),
-        expr(s"percentile($valCol, 0.75D)").as("p75"))
+      valCol: String, approx: Boolean = false,
+      k: Int = 200): DataFrame = {
+    val pcts = if (approx) {
+      graft.functions.KllExprs.ensureRegistered(df.sparkSession)
+      df.groupBy(col(groupCol))
+        .agg(expr(s"graft_kll_agg(cast($valCol as double), $k)").as("sk"))
+        .select(col(groupCol),
+          expr("graft_kll_quantile(sk, 0.25D)").as("p25"),
+          expr("graft_kll_quantile(sk, 0.75D)").as("p75"))
+    } else {
+      df.groupBy(col(groupCol))
+        .agg(expr(s"percentile($valCol, 0.25D)").as("p25"),
+          expr(s"percentile($valCol, 0.75D)").as("p75"))
+    }
+    val fences = pcts
       .select(col(groupCol),
         round(expr("p25 - 1.5 * (p75 - p25)"), 6).as("lo"),
         round(expr("p75 + 1.5 * (p75 - p25)"), 6).as("hi"))

@@ -42,6 +42,17 @@ object Pipeline6 extends graft.QueryModule {
         "event_type", "value")
       .orderBy("event_type")
 
+  /** KLL twin of q_profile_outliers — same Tukey-fence report, p25/p75
+    * from the mergeable KLL sketch instead of exact `percentile` (the
+    * 100 TB path: bounded per-group agg state, map-side partial merge,
+    * no whole-group buffer on one reducer; graded no-oracle, bounded
+    * by Pipeline6Spec's fence rank-band test against the exact twin —
+    * the q_agg_trimmed / q_agg_trimmed_kll pattern). */
+  def profileOutliersKll(s: SparkSession, dir: String): DataFrame =
+    graft.api.Profile.iqrOutliers(Tables.events(s, dir),
+        "event_type", "value", approx = true)
+      .orderBy("event_type")
+
   /** Equi-width HISTOGRAM of lineitem price in $5000 buckets — the
     * one-pass distribution profile: bucket ids from exact integer
     * CENTS arithmetic (round-then-cast per the §2.0 minmax_by rule —
@@ -63,6 +74,7 @@ object Pipeline6 extends graft.QueryModule {
     "q_events_gapfill" -> eventsGapfill,
     "q_dedup_levenshtein" -> dedupLevenshtein,
     "q_profile_outliers" -> profileOutliers,
+    "q_profile_outliers_kll" -> profileOutliersKll,
     "q_agg_histogram" -> aggHistogram)
 
   def oracleSql: Map[String, String] = Map(

@@ -67,6 +67,38 @@ class Pipeline6Spec extends AnyFunSuite {
     assert(r(0).getDouble(5) == 14.5)       // hi
   }
 
+  test("Profile.iqrOutliers approx: KLL fences within the rank band, same classification") {
+    val sp = spark
+    import sp.implicits._
+    // g: 2000 distinct values + one planted extreme -> value i has true
+    // rank ~i/2001, so fence quality reads directly off the value.
+    // h proves per-group sketches (its values scale 10x).
+    val df = (((1 to 2000).map(_.toDouble) :+ 100000.0).map(("g", _)) ++
+      (1 to 500).map(i => ("h", 10.0 * i))).toDF("grp", "v")
+    val exact = api.Profile.iqrOutliers(df, "grp", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = api.Profile.iqrOutliers(df, "grp", "v", approx = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    // k=200 normalized rank error ~1.65%; assert a 3% band. With
+    // p25 in [.22,.28]n and p75 in [.72,.78]n the Tukey fences
+    // lo = 2.5*p25 - 1.5*p75 and hi = 2.5*p75 - 1.5*p25 land in
+    // [-.62n, -.38n] and [1.38n, 1.62n]; any fences in band classify
+    // exactly the one planted extreme.
+    val g = approx("g")
+    val n = 2001.0
+    assert(g.getLong(1) == 2001L && g.getLong(2) == 1L)
+    val lo = g.getDouble(4); val hi = g.getDouble(5)
+    assert(lo >= -0.62 * n && lo <= -0.38 * n, s"lo fence off band: $lo")
+    assert(hi >= 1.38 * n && hi <= 1.62 * n, s"hi fence off band: $hi")
+    // per-group: h's fences scale with its own values; hi = 2.5*p75 -
+    // 1.5*p25 drifts at most (2.5+1.5)*(3% of 500 ranks * 10/value) = 600.
+    val h = approx("h")
+    assert(h.getLong(2) == exact("h").getLong(2))
+    assert(math.abs(h.getDouble(5) - exact("h").getDouble(5)) <= 600.0,
+      s"h hi fence drift: ${h.getDouble(5)} vs ${exact("h").getDouble(5)}")
+  }
+
   test("q_agg_histogram: exact cents arithmetic buckets the boundary") {
     // 4999.995 rounds to 500000 cents -> bucket 1, not 0; sums exact.
     val sp = spark
