@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Pipeline4,
     operators.Pipeline5,
     operators.Pipeline6,
+    operators.Pipeline7,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

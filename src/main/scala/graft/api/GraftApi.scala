@@ -1601,6 +1601,53 @@ object Profile {
       maxBlockHits: Long = 5L, maxDupTokenPpm: Long = 650000L,
       minMatches: Int = 8, gramK: Int = 8,
       precomputedSigs: Option[DataFrame] = None): DataFrame = {
+    val stages = pipelineStageFrames(docs, idCol, textCol, blocklist,
+      probes, perms, minTokens, maxBlockHits, maxDupTokenPpm,
+      minMatches, gramK, precomputedSigs)
+    val counts = stages.zipWithIndex.map { case ((nm, df), i) =>
+      df.agg(count(lit(1)).as("n_kept"))
+        .select(lit(i.toLong).as("stage"), lit(nm).as("stage_name"),
+          col("n_kept"))
+    }.reduce(_.unionAll(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+    counts
+      .withColumn("n_in", lag(col("n_kept"), 1).over(w))
+      .where(col("stage") >= 1)
+      .select(col("stage"), col("stage_name"), col("n_in"), col("n_kept"),
+        (col("n_in") - col("n_kept")).as("n_dropped"))
+  }
+
+  /** SURVIVORS of the corpus pipeline — the same stage chain as
+    * [[pipelineReport]] (one code path, so the report and the frame a
+    * downstream consumer trains on can never drift), returning the
+    * final-stage document frame (idCol, textCol) instead of counts.
+    * This is the input to the OUTPUT leg: mixture/temperature quota →
+    * leakage-safe split → shard materialization. localCheckpoint'd
+    * eagerly: the consumer fans out into several aggregations and must
+    * not re-execute the 5-stage chain per use. */
+  def pipelineSurvivors(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, probes: DataFrame,
+      perms: Seq[(Int, Long, Long)], minTokens: Long = 25L,
+      maxBlockHits: Long = 5L, maxDupTokenPpm: Long = 650000L,
+      minMatches: Int = 8, gramK: Int = 8,
+      precomputedSigs: Option[DataFrame] = None): DataFrame =
+    pipelineStageFrames(docs, idCol, textCol, blocklist, probes, perms,
+      minTokens, maxBlockHits, maxDupTokenPpm, minMatches, gramK,
+      precomputedSigs)
+      .last._2.select(col("id").as(idCol), col("txt").as(textCol))
+      .localCheckpoint(true)
+
+  /** The shared stage chain behind [[pipelineReport]] /
+    * [[pipelineSurvivors]]: (stage_name, frame) pairs in pipeline
+    * order; every frame carries the stage's surviving `id`s (doc-frame
+    * stages also carry `txt`). See pipelineReport's doc for the
+    * per-stage semantics and scale shape. */
+  private def pipelineStageFrames(docs: DataFrame, idCol: String,
+      textCol: String, blocklist: DataFrame, probes: DataFrame,
+      perms: Seq[(Int, Long, Long)], minTokens: Long,
+      maxBlockHits: Long, maxDupTokenPpm: Long,
+      minMatches: Int, gramK: Int,
+      precomputedSigs: Option[DataFrame]): Seq[(String, DataFrame)] = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
       .localCheckpoint(true)
     // Stages 1-3 gate on PER-DOC metrics (token count, blocked-token
@@ -1657,19 +1704,8 @@ object Profile {
         "id")
       .select(col("train_id").as("id")).distinct()
     val s5 = s4.join(contaminated, Seq("id"), "left_anti")
-    val stages = Seq(("input", base), ("length", s1ids), ("blocklist", s2ids),
+    Seq(("input", base), ("length", s1ids), ("blocklist", s2ids),
       ("repetition", s3), ("neardup", s4), ("decontaminate", s5))
-    val counts = stages.zipWithIndex.map { case ((nm, df), i) =>
-      df.agg(count(lit(1)).as("n_kept"))
-        .select(lit(i.toLong).as("stage"), lit(nm).as("stage_name"),
-          col("n_kept"))
-    }.reduce(_.unionAll(_))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
-    counts
-      .withColumn("n_in", lag(col("n_kept"), 1).over(w))
-      .where(col("stage") >= 1)
-      .select(col("stage"), col("stage_name"), col("n_in"), col("n_kept"),
-        (col("n_in") - col("n_kept")).as("n_dropped"))
   }
 
   /** OUTPUT-SHARD balance report: assign each row to one of `nShards`
