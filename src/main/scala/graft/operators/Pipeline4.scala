@@ -64,10 +64,11 @@ object Pipeline4 extends graft.QueryModule {
     * singletons hash on their own id (graft.api.Ml.leakageSafeSplit,
     * 80/10/10). */
   def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
-    val sig = s.read.parquet(TextOps.ensureFullSigs(s, dir))
-    val pairs = graft.api.Dedup.minhashCandidates(sig, "doc_id",
-      minMatches = 8).select("d1", "d2")
-    val cc = graft.api.Dedup.connectedComponents(pairs, "d1", "d2")
+    // r8: the cluster map comes from the STORED full-corpus frame
+    // (TextOps.ensureFullCc) — in production the map must be frozen
+    // storage (a re-derived map could re-label a cluster and move docs
+    // across splits); deterministic, so the output is unchanged
+    val cc = s.read.parquet(TextOps.ensureFullCc(s, dir))
     graft.api.Ml.leakageSafeSplit(
         Tables.documents(s, dir).select("doc_id", "lang"), "doc_id", cc)
       .select(col("doc_id"), col("lang"), col("rep"), col("split"))

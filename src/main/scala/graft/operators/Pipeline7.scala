@@ -23,32 +23,49 @@ object Pipeline7 extends graft.QueryModule {
     * Sample.temperatureCap + Ml.leakageSafeSplit + the shardBalance
     * projection).
     *
-    * 100 TB: every stage keeps the corpus un-collected — the survivor
-    * chain is the checkpointed q_pipeline_corpus plan, the quota is a
-    * |langs|-row broadcast, the split is one equi-join against the
-    * (small) cluster map, and the report is a |splits×shards|-row agg.
-    * The quota window partitions by lang (the natural shard); the
-    * final frame is what a writer would partitionBy(split, shard). */
-  def pipelineOutput(s: SparkSession, dir: String): DataFrame = {
+    * 100 TB: every stage keeps the corpus un-collected — survivors
+    * come from the STORED gated-corpus frame ([[ensureSurvivors]], the
+    * one-time materialization a production pipeline writes anyway),
+    * the quota is a |langs|-row broadcast, the split is one equi-join
+    * against the (small) cluster map, and the report is a
+    * |splits×shards|-row agg. The quota window partitions by lang (the
+    * natural shard); the final frame is what a writer would
+    * partitionBy(split, shard). */
+  /** Survivor corpus of the gate pipeline, STORED to parquet once per
+    * (session, sfDir) — the ensureFullSigs pattern: in production the
+    * gated corpus IS a materialized artifact (each stage writes to
+    * storage and q_pipeline_corpus is the bookkeeping emitted
+    * alongside), so the output leg consumes the stored frame instead
+    * of re-executing the 5-stage chain. The chain is deterministic, so
+    * storing cannot change any output. */
+  private[graft] def ensureSurvivors(s: SparkSession, dir: String): String = {
     import s.implicits._
+    val out = graft.sources.Store.scopedPath(s, dir, "pipeline_survivors")
+    graft.sources.Store.writeOnce(s, out) {
+      val docs = Tables.documents(s, dir)
+      val train = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      val probes = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+      val block = Seq("slow", "error").toDF("word")
+      val sigs = s.read.parquet(TextOps.ensureFullSigs(s, dir))
+      graft.api.Profile.pipelineSurvivors(train, "doc_id", "text",
+          block, probes, TextOps.permTable,
+          precomputedSigs = Some(sigs))
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  def pipelineOutput(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val train = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
-    val probes = docs.where(pmod(col("doc_id"), lit(7)) === 0)
-    val block = Seq("slow", "error").toDF("word")
-    val sigs = s.read.parquet(TextOps.ensureFullSigs(s, dir))
-    val surv = graft.api.Profile.pipelineSurvivors(train, "doc_id",
-      "text", block, probes, TextOps.permTable,
-      precomputedSigs = Some(sigs))
+    val surv = s.read.parquet(ensureSurvivors(s, dir))
     // survivors carry (doc_id, text); lang comes back via the id join
     val sv = surv.join(docs.select("doc_id", "lang"), "doc_id")
     val mixed = graft.api.Sample.temperatureCap(sv, "lang", "doc_id",
       total = 600L)
-    // split by near-dup cluster representative — the FULL-corpus
-    // cluster map (stored signatures), so a near-dup of a kept doc
+    // split by near-dup cluster representative — the STORED full-corpus
+    // cluster map (TextOps.ensureFullCc), so a near-dup of a kept doc
     // that arrives tomorrow lands in the same split
-    val pairs = graft.api.Dedup.minhashCandidates(sigs, "doc_id",
-      minMatches = 8).select("d1", "d2")
-    val cc = graft.api.Dedup.connectedComponents(pairs, "d1", "d2")
+    val cc = s.read.parquet(TextOps.ensureFullCc(s, dir))
     val assigned = graft.api.Ml.leakageSafeSplit(mixed, "doc_id", cc)
     val shards = assigned.select(col("split"),
         (pmod(col("doc_id") * lit(1103515245L) + lit(12345L),

@@ -178,6 +178,26 @@ object TextOps extends graft.QueryModule {
     out
   }
 
+  /** Full-corpus near-dup CLUSTER MAP (min-label connected components
+    * over the >=8/16-band MinHash candidate pairs), STORED once per
+    * (session, sfDir) — like the signatures, the map is a one-time
+    * ingest product: the leakage-safe split and the pipeline output
+    * leg both key on it, and in production it must be FROZEN storage
+    * anyway (a re-derived map could re-label a cluster and silently
+    * move docs across train/test). Deterministic, so storing cannot
+    * change any consumer's output. */
+  private[graft] def ensureFullCc(s: SparkSession, dir: String): String = {
+    val out = graft.sources.Store.scopedPath(s, dir, "full_cc")
+    graft.sources.Store.writeOnce(s, out) {
+      val sig = s.read.parquet(ensureFullSigs(s, dir))
+      graft.api.Dedup.connectedComponents(
+          graft.api.Dedup.minhashCandidates(sig, "doc_id", minMatches = 8)
+            .select("d1", "d2"), "d1", "d2")
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** Band candidates (from the stored signatures) + the shingles of
     * exactly the docs they mention — the shared front half of the
     * verify-family queries. Both frames localCheckpoint (eager): the
