@@ -28,6 +28,7 @@ object SparkEntry {
     operators.Pipeline5,
     operators.Pipeline6,
     operators.Pipeline7,
+    operators.Pipeline8,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

