@@ -27,14 +27,13 @@ object Pipeline3 extends graft.QueryModule {
     * agg partitioned by node, rounds = component diameter, tiny for
     * near-dup cliques). No global sort, no driver-side graph. */
   def dedupCluster(s: SparkSession, dir: String): DataFrame = {
-    // signatures come from the STORED full-corpus frame (r6 — the
-    // same one-time ingest product q_dedup_jaccard reads; identical
-    // arithmetic values, so the oracle is unchanged). Before, this
-    // query re-ran the corpus-wide shingle explode + 16-perm agg that
-    // the store already holds.
-    val sig = s.read.parquet(TextOps.ensureFullSigs(s, dir))
-    val pairs = Dedup.minhashCandidates(sig, "doc_id", minMatches = 8)
-      .select("d1", "d2")
+    // candidate pairs come from the STORED full-corpus frame (r8 —
+    // TextOps.ensureFullPairs, the same one-time ingest product the
+    // verify front and PageRank read; identical arithmetic values, so
+    // the oracle is unchanged). Before, this query re-ran the band
+    // self-join over the stored signatures on every run.
+    val pairs = s.read.parquet(TextOps.ensureFullPairs(s, dir))
+      .where(col("matches") >= 8).select("d1", "d2")
     Dedup.connectedComponents(pairs, "d1", "d2")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",

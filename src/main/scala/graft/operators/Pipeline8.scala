@@ -78,9 +78,8 @@ object Pipeline8 extends graft.QueryModule {
     * (graft.api.Graph.pagerankMicro — deterministic on any engine,
     * partitioning or schedule). */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val sig = s.read.parquet(TextOps.ensureFullSigs(s, dir))
-    val pairs = graft.api.Dedup.minhashCandidates(sig, "doc_id",
-      minMatches = 8).select("d1", "d2")
+    val pairs = s.read.parquet(TextOps.ensureFullPairs(s, dir))
+      .where(col("matches") >= 8).select("d1", "d2")
     graft.api.Graph.pagerankMicro(pairs, "d1", "d2", iters = 3)
       .select(col("node").as("doc_id"), col("rank_micro"))
       .orderBy("doc_id")

@@ -178,6 +178,26 @@ object TextOps extends graft.QueryModule {
     out
   }
 
+  /** Full-corpus MinHash band-candidate PAIRS (>=4/16 agreement, with
+    * the match count), STORED once per (session, sfDir) — the third
+    * one-time ingest product next to the signatures and the cluster
+    * map: every pair consumer (the jaccard/containment verify front,
+    * the cluster map, PageRank) filters the stored frame to its own
+    * threshold instead of re-running the corpus-wide band self-join.
+    * Stored at the LOWEST consumed threshold (4); `matches` is the
+    * full 16-perm agreement count, so `matches >= k` reproduces any
+    * k-threshold band join exactly — deterministic, no consumer
+    * output changes. */
+  private[graft] def ensureFullPairs(s: SparkSession, dir: String): String = {
+    val out = graft.sources.Store.scopedPath(s, dir, "full_pairs")
+    graft.sources.Store.writeOnce(s, out) {
+      val sig = s.read.parquet(ensureFullSigs(s, dir))
+      graft.api.Dedup.minhashCandidates(sig, "doc_id", minMatches = 4)
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** Full-corpus near-dup CLUSTER MAP (min-label connected components
     * over the >=8/16-band MinHash candidate pairs), STORED once per
     * (session, sfDir) — like the signatures, the map is a one-time
@@ -189,10 +209,9 @@ object TextOps extends graft.QueryModule {
   private[graft] def ensureFullCc(s: SparkSession, dir: String): String = {
     val out = graft.sources.Store.scopedPath(s, dir, "full_cc")
     graft.sources.Store.writeOnce(s, out) {
-      val sig = s.read.parquet(ensureFullSigs(s, dir))
       graft.api.Dedup.connectedComponents(
-          graft.api.Dedup.minhashCandidates(sig, "doc_id", minMatches = 8)
-            .select("d1", "d2"), "d1", "d2")
+          s.read.parquet(ensureFullPairs(s, dir))
+            .where(col("matches") >= 8).select("d1", "d2"), "d1", "d2")
         .write.mode("overwrite").parquet(out)
     }
     out
@@ -206,8 +225,8 @@ object TextOps extends graft.QueryModule {
     * ContextCleaner frees the RDDs). */
   private def candidateShingles(s: SparkSession, dir: String,
       minMatches: Int): (DataFrame, DataFrame) = {
-    val sig = s.read.parquet(ensureFullSigs(s, dir))
-    val cand = graft.api.Dedup.minhashCandidates(sig, "doc_id", minMatches)
+    val cand = s.read.parquet(ensureFullPairs(s, dir))
+      .where(col("matches") >= minMatches)
       .localCheckpoint(true)
     val candIds = cand
       .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
