@@ -100,6 +100,22 @@ object StreamOps extends graft.QueryModule {
           .as("ttc_us"))
   }
 
+  /** Latest-state-per-key COMPACTION of a change stream — materialized-
+    * view maintenance, the streaming face of `Rel.mergeUpsert`'s batch
+    * merge: per user, the CURRENT (event_type, value) under the unique
+    * (ts, event_id) ordinal, plus change count and last-change ts.
+    * `max_by` over the composite ordinal is a plain mergeable
+    * aggregate, so this exact code runs batch (graded, oracle-checked
+    * against a ROW_NUMBER twin) and streaming in update/complete mode
+    * with per-key state = ONE row — the 100 TB point: a key with 10^6
+    * changes costs the same state as one with 2. */
+  def upsertLatest(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_changes"),
+        max(col("ts")).as("last_ts"),
+        expr("max_by(event_type, struct(ts, event_id))").as("cur_type"),
+        expr("max_by(value, struct(ts, event_id))").as("cur_value"))
+
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -114,9 +130,22 @@ object StreamOps extends graft.QueryModule {
     "q_stream_stateful_funnel" -> ((s, d) => funnel(ev(s, d))
       .orderBy("user_id")),
     "q_stream_freq_topk" -> ((s, d) => freqTopk(ev(s, d))
-      .orderBy("window_start", "rank")))
+      .orderBy("window_start", "rank")),
+    "q_stream_upsert" -> ((s, d) => upsertLatest(ev(s, d))
+      .orderBy("user_id")))
 
   def oracleSql: Map[String, String] = Map(
+    "q_stream_upsert" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes,
+        |    MAX(ts) OVER (PARTITION BY user_id) AS last_ts
+        |  FROM events)
+        |SELECT user_id, CAST(n_changes AS BIGINT) AS n_changes, last_ts,
+        |       event_type AS cur_type, value AS cur_value
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_stream_freq_topk" ->
       """SELECT window_start, CAST(rn AS BIGINT) AS rank, kval, cnt AS est
         |FROM (

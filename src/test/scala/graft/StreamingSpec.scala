@@ -107,6 +107,17 @@ class StreamingSpec extends AnyFunSuite {
     assertSame(throughStream("t_dedup", data, streaming.StreamOps.dedup), batch)
   }
 
+  test("latest-state upsert compaction: stream == batch on complete data") {
+    // the CDC materialized-view twin: max_by over the unique
+    // (ts, event_id) ordinal merges across micro-batches, so feeding
+    // the log in two batches must land exactly on the batch compaction
+    val data = eventsSample()
+    val batch = streaming.StreamOps.upsertLatest(Tables.events(spark, dir))
+    assertSame(
+      throughStream("t_upsert", data, streaming.StreamOps.upsertLatest),
+      batch)
+  }
+
   test("freq-sketch heavy hitters: stream == batch on complete data") {
     // the sketch agg's state MERGES across micro-batches (the
     // TypedImperativeAggregate contract); in the exact regime the
