@@ -743,6 +743,42 @@ object Dedup {
     * onto |coarse blocks| reducers). The DP runs BANDED (Spark's
     * thresholded `levenshtein` — O(maxDist*L) per pair, -1 past the
     * bound, instead of the full O(L^2) table). */
+  /** SPAN-level exact duplicate detection — the substring-dedup
+    * operator of the train-data-dedup literature (find repeated spans
+    * ACROSS documents, the boilerplate/license-header/quoted-reply
+    * mass that document-level near-dup never sees), at fixed `n`-word
+    * granularity with POSITIONS: every doc emits all rolling n-gram
+    * occurrences (posexplode — occurrences, not the distinct grams
+    * the decontamination probe uses), grouped by gram; grams present
+    * in >= 2 DISTINCT docs come back with doc count, occurrence
+    * count, and the first occurrence (min over the doc*1000+pos
+    * ordinal — deterministic; pos < 1000 words per doc by fixture
+    * bound). Output: (gram, n_docs, n_occ, first_doc, first_pos).
+    *
+    * 100 TB: the shuffle key is md5(gram) — fixed 32 bytes however
+    * wide the gram; the output is support-sized (duplicated grams
+    * only), and per-gram state is counters + a min, never a posting
+    * list. A pipeline cuts the flagged spans from all but first_doc. */
+  def spanDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame =
+    docs
+      .withColumn("__l", split(lower(col(textCol)), " "))
+      .where(size(col("__l")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__l) - $n), " +
+          s"i -> array_join(slice(__l, i + 1, $n), ' '))")))
+      .select(col(idCol), col("pos"), col("col").as("gram"),
+        md5(col("col")).as("__k"))
+      .groupBy("__k")
+      .agg(min("gram").as("gram"),
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col(idCol) * 1000 + col("pos")).as("__ref"))
+      .where(col("n_docs") >= 2)
+      .select(col("gram"), col("n_docs"), col("n_occ"),
+        expr("__ref div 1000").as("first_doc"),
+        expr("__ref % 1000").as("first_pos"))
+
   def fuzzyPairs(docs: DataFrame, idCol: String, textCol: String,
       block: Column, prefixLen: Int, maxDist: Int): DataFrame = {
     val a = docs.select(col(idCol).as("a_id"), block.as("__blk"),

@@ -120,7 +120,18 @@ object Pipeline8 extends graft.QueryModule {
       s"\nFROM r$iters ORDER BY doc_id"
   }
 
+  /** Span-level exact duplicate report over documents: repeated
+    * 8-word spans across >= 2 docs with occurrence counts and the
+    * first occurrence (graft.api.Dedup.spanDuplicates) — the
+    * substring-dedup complement of the document-level MinHash
+    * family. */
+  def dedupSpan(s: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.spanDuplicates(Tables.documents(s, dir),
+        "doc_id", "text", n = 8)
+      .orderBy("gram")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_span" -> dedupSpan,
     "q_merge_upsert" -> mergeUpsert,
     "q_merge_scd2" -> mergeScd2,
     "q_events_anomaly" -> eventsAnomaly,
@@ -190,6 +201,26 @@ object Pipeline8 extends graft.QueryModule {
         |       COALESCE(ABS(z) > 3.0, FALSE) AS anomaly
         |FROM scored
         |ORDER BY event_type, hr""".stripMargin,
+    "q_dedup_span" ->
+      """WITH tok AS (
+        |  SELECT doc_id, str_split(lower(text), ' ') AS l
+        |  FROM documents WHERE len(str_split(lower(text), ' ')) >= 8),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(l[i:i+7], ' ')
+        |            for i in range(1, len(l) - 6)]) AS gram,
+        |    unnest([i - 1 for i in range(1, len(l) - 6)]) AS pos
+        |  FROM tok),
+        |dup AS (
+        |  SELECT gram,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |    MIN(doc_id * 1000 + pos) AS ref
+        |  FROM occ GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT gram, n_docs, n_occ,
+        |  CAST(ref // 1000 AS BIGINT) AS first_doc,
+        |  CAST(ref % 1000 AS BIGINT) AS first_pos
+        |FROM dup ORDER BY gram""".stripMargin,
     "q_graph_pagerank" -> pagerankOracleSql(3),
     "q_sample_pps" ->
       """WITH b AS (

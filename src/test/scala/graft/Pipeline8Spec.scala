@@ -78,6 +78,23 @@ class Pipeline8Spec extends AnyFunSuite {
     assert(rf.drop(11).forall(x => x.isNullAt(3) && !x.getBoolean(4)))
   }
 
+  test("Dedup.spanDuplicates: planted cross-doc span found with first occurrence, singles dropped") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x"),   // span at pos 0
+      (2L, "z a b c d e f g h"),   // same span at pos 1
+      (3L, "p q r s t u v w"))     // unrelated, single doc
+      .toDF("doc_id", "text")
+    val r = api.Dedup.spanDuplicates(docs, "doc_id", "text", n = 8)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "a b c d e f g h")
+    assert(row.getLong(1) == 2L && row.getLong(2) == 2L)
+    assert(row.getLong(3) == 1L && row.getLong(4) == 0L)
+  }
+
   test("Graph.pagerankMicro: exact integer ranks on a path graph, center dominates") {
     val sp = spark
     import sp.implicits._
