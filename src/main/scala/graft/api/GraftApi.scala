@@ -769,11 +769,17 @@ object Dedup {
           s"i -> array_join(slice(__l, i + 1, $n), ' '))")))
       .select(col(idCol), col("pos"), col("col").as("gram"),
         md5(col("col")).as("__k"))
+      // two-stage agg instead of COUNT(DISTINCT doc): the per-(gram,
+      // doc) stage collapses within-doc repeats map-side and avoids
+      // the Expand a distinct-count would plan over the full exploded
+      // stream; the second stage is support-sized (one row per
+      // gram-doc).
+      .groupBy(col("__k"), col(idCol))
+      .agg(min("gram").as("gram"), count(lit(1)).as("occ"),
+        min(col(idCol) * 1000 + col("pos")).as("ref"))
       .groupBy("__k")
-      .agg(min("gram").as("gram"),
-        countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("n_occ"),
-        min(col(idCol) * 1000 + col("pos")).as("__ref"))
+      .agg(min("gram").as("gram"), count(lit(1)).as("n_docs"),
+        sum("occ").as("n_occ"), min("ref").as("__ref"))
       .where(col("n_docs") >= 2)
       .select(col("gram"), col("n_docs"), col("n_occ"),
         expr("__ref div 1000").as("first_doc"),
