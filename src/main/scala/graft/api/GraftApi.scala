@@ -1234,6 +1234,35 @@ object Events {
     * FIRST (map-side combine), so the window input is support-sized
     * (|series| × hours, ~9k rows per series-year) and the rows-frame
     * window streams incrementally — no raw-event state anywhere. */
+  /** DAU / MAU / stickiness — the engagement profile next to
+    * [[retention]]: per observed activity day, the count of distinct
+    * active users that day (DAU), the count of distinct users active
+    * in the trailing 28 days (MAU), and stickiness = DAU/MAU in ppm
+    * (exact integer div). Rolling DISTINCT aggregates don't decompose
+    * into window sums, so MAU is computed the scale-safe way: the raw
+    * stream collapses to the DISTINCT (user, day) activity frame
+    * FIRST (support-sized: users × active days), each activity row
+    * explodes to the <= 28 future days it keeps the user "monthly
+    * active" for, and a second distinct + hash agg counts users per
+    * day — bounded 28x blowup of a support-sized frame, never a
+    * distinct-over-window state machine. Days with no activity are
+    * absent (DAU undefined). */
+  def dauMau(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 28): DataFrame = {
+    val act = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val dau = act.groupBy("d").agg(count(lit(1)).as("dau"))
+    val span = act
+      .select(col("u"), explode(
+        expr(s"sequence(d, date_add(d, ${windowDays - 1}))")).as("d"))
+      .distinct()
+    val mau = span.groupBy("d").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "d")
+      .select(col("d").as("day"), col("dau"), col("mau"),
+        expr("(1000000 * dau) div mau").as("stickiness_ppm"))
+  }
+
   def rollingAnomaly(events: DataFrame, seriesCol: String, tsCol: String,
       win: Int = 24, zThresh: Double = 3.0): DataFrame = {
     val hourly = events

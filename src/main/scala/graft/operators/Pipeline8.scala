@@ -63,6 +63,14 @@ object Pipeline8 extends graft.QueryModule {
         "event_type", "ts", win = 24)
       .orderBy("event_type", "hr")
 
+  /** DAU / MAU / stickiness over the events stream
+    * (graft.api.Events.dauMau): per observed day, distinct daily
+    * actives, trailing-28-day distinct actives, and their exact ppm
+    * ratio. */
+  def eventsDauMau(s: SparkSession, dir: String): DataFrame =
+    graft.api.Events.dauMau(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("day")
+
   /** Weighted PPS systematic sample of ~100 documents by char weight
     * (graft.api.Sample.ppsSystematic): hash-order line, exact integer
     * grid-crossing selection, distributed bucketed prefix sum. */
@@ -135,6 +143,7 @@ object Pipeline8 extends graft.QueryModule {
     "q_merge_upsert" -> mergeUpsert,
     "q_merge_scd2" -> mergeScd2,
     "q_events_anomaly" -> eventsAnomaly,
+    "q_events_dau_mau" -> eventsDauMau,
     "q_sample_pps" -> samplePps,
     "q_graph_pagerank" -> graphPagerank)
 
@@ -221,6 +230,25 @@ object Pipeline8 extends graft.QueryModule {
         |  CAST(ref // 1000 AS BIGINT) AS first_doc,
         |  CAST(ref % 1000 AS BIGINT) AS first_pos
         |FROM dup ORDER BY gram""".stripMargin,
+    "q_events_dau_mau" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau
+        |        FROM act GROUP BY d),
+        |span AS (
+        |  SELECT DISTINCT u, d FROM (
+        |    SELECT u, CAST(unnest(generate_series(
+        |      CAST(d AS TIMESTAMP), CAST(d AS TIMESTAMP)
+        |        + INTERVAL 27 DAY, INTERVAL 1 DAY)) AS DATE) AS d
+        |    FROM act)),
+        |mau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS mau
+        |        FROM span GROUP BY d)
+        |SELECT dau.d AS day, dau.dau, mau.mau,
+        |  CAST((1000000 * dau.dau) // mau.mau AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM dau JOIN mau ON dau.d = mau.d
+        |ORDER BY day""".stripMargin,
     "q_graph_pagerank" -> pagerankOracleSql(3),
     "q_sample_pps" ->
       """WITH b AS (

@@ -115,6 +115,23 @@ class Pipeline8Spec extends AnyFunSuite {
     assert(r3(0)._2 == r3(2)._2 && r3(1)._2 > r3(0)._2)
   }
 
+  test("Events.dauMau: trailing-28-day actives, quiet days absent, exact stickiness") {
+    val sp = spark
+    import sp.implicits._
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00")
+    // u1 active day 0 and day 30 (outside the 28-day window of day 0);
+    // u2 active day 0 only; no other days have activity
+    val ev = Seq((1L, t(0)), (1L, t(0)), (2L, t(0)), (1L, t(30)))
+      .toDF("user_id", "ts")
+    val r = api.Events.dauMau(ev, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    assert(r.toSeq == Seq(
+      ("2024-01-01", 2L, 2L, 1000000L),
+      ("2024-01-31", 1L, 1L, 1000000L)))
+  }
+
   test("Sample.ppsSystematic: equals the global-cumsum reference; bucket count is invisible") {
     val sp = spark
     import sp.implicits._
