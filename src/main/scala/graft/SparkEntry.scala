@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Pipeline6,
     operators.Pipeline7,
     operators.Pipeline8,
+    operators.Pipeline9,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

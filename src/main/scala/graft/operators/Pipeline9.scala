@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.22 round-8 analytics closers: the remaining ops an analyst runs
+  * weekly over the same 100 TB events table — gaps-and-islands streak
+  * detection (the consecutive-run window idiom), a data-freshness
+  * monitor (is any series stale?), and a Welch two-sample t-test
+  * computed from exact integer moments (A/B readout without trusting
+  * either engine's variance kernel). All with exact DuckDB oracles.
+  */
+object Pipeline9 extends graft.QueryModule {
+
+  /** Longest consecutive-day activity STREAK per user — the classic
+    * gaps-and-islands window: distinct (user, day) activity frame
+    * FIRST (support-sized), island key = day minus row_number days
+    * (consecutive days share it), runs = one hash agg over islands,
+    * best run per user by (length desc, start asc) — deterministic.
+    * Output: (user_id, n_active_days, best_streak, streak_start).
+    *
+    * 100 TB: the only full-data pass is the distinct projection; both
+    * windows partition by user over the support-sized activity/run
+    * frames — no global sort, state bounded by a user's active-day
+    * count. */
+  def winStreak(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val runs = act
+      .withColumn("isl", expr("date_sub(d, row_number() over " +
+        "(partition by user_id order by d))"))
+      .groupBy("user_id", "isl")
+      .agg(count(lit(1)).as("len"), min("d").as("start"))
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("len").desc, col("start").asc)
+    val totals = act.groupBy("user_id")
+      .agg(count(lit(1)).as("n_active_days"))
+    runs.withColumn("rk", row_number().over(w2)).where(col("rk") === 1)
+      .join(totals, "user_id")
+      .select(col("user_id"), col("n_active_days"),
+        col("len").as("best_streak"), col("start").as("streak_start"))
+      .orderBy("user_id")
+  }
+
+  /** Data-FRESHNESS monitor: per event series, event count, last seen
+    * ts, and integer minutes behind the newest event anywhere — the
+    * staleness gate run before trusting a day's ingest. One hash agg
+    * plus a 1-row broadcast of the global max. */
+  def profileFreshness(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+    val top = per.agg(max(col("last_ts")).as("max_ts"))
+    per.crossJoin(broadcast(top))
+      .select(col("event_type"), col("n_events"), col("last_ts"),
+        expr("(unix_micros(max_ts) - unix_micros(last_ts))" +
+          " div 60000000").as("behind_min"))
+      .orderBy("event_type")
+  }
+
+  /** Welch two-sample t-test between purchase and click values — the
+    * A/B readout, computed ENTIRELY from exact integer moments
+    * (n, Σcents, Σcents² per side; cents² sums stay far under 2^63 at
+    * any realistic value scale) so neither engine's variance kernel is
+    * trusted: s² = (n·Σx² − (Σx)²)/(n·(n−1)) in cents², then
+    * t = (m1 − m2)/√(s1²/n1 + s2²/n2) as one fixed dag of IEEE-exact
+    * double ops, rounded to 6 dp. Means reported in dollars. One
+    * filtered scan, two 1-row agg branches, broadcast cross. */
+  def mlAbTtest(s: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, tag: String) =
+      Tables.events(s, dir).where(col("event_type") === tpe)
+        .select(expr("cast(round(value * 100) as bigint)").as("c"))
+        .agg(count(lit(1)).as(s"n$tag"), sum("c").as(s"s$tag"),
+          sum(expr("c * c")).as(s"ss$tag"))
+    side("purchase", "1").crossJoin(broadcast(side("click", "2")))
+      .select(col("n1"), col("n2"),
+        expr("round(cast(s1 as double) / n1 / 100, 6)").as("mean_1"),
+        expr("round(cast(s2 as double) / n2 / 100, 6)").as("mean_2"),
+        expr("round((cast(s1 as double) / n1 - cast(s2 as double) / n2)" +
+          " / sqrt(" +
+          "  (cast(n1 * ss1 - s1 * s1 as double) / (n1 * (n1 - 1))) / n1" +
+          " + (cast(n2 * ss2 - s2 * s2 as double) / (n2 * (n2 - 1))) / n2" +
+          "), 6)").as("t_stat"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_streak" -> winStreak,
+    "q_profile_freshness" -> profileFreshness,
+    "q_ml_ab_ttest" -> mlAbTtest)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_win_streak" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |isl AS (
+        |  SELECT user_id, d,
+        |    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY d) AS INTEGER) AS isl
+        |  FROM act),
+        |runs AS (
+        |  SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len,
+        |         MIN(d) AS start
+        |  FROM isl GROUP BY user_id, isl),
+        |best AS (
+        |  SELECT user_id, len, start,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start ASC) AS rk
+        |  FROM runs),
+        |tot AS (SELECT user_id, CAST(COUNT(*) AS BIGINT)
+        |          AS n_active_days FROM act GROUP BY user_id)
+        |SELECT b.user_id, t.n_active_days, b.len AS best_streak,
+        |       b.start AS streak_start
+        |FROM best b JOIN tot t USING (user_id)
+        |WHERE b.rk = 1 ORDER BY b.user_id""".stripMargin,
+    "q_profile_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         MAX(ts) AS last_ts
+        |  FROM events GROUP BY event_type),
+        |top AS (SELECT MAX(last_ts) AS max_ts FROM per)
+        |SELECT event_type, n_events, last_ts,
+        |  CAST((epoch_us(max_ts) - epoch_us(last_ts)) // 60000000
+        |    AS BIGINT) AS behind_min
+        |FROM per CROSS JOIN top
+        |ORDER BY event_type""".stripMargin,
+    "q_ml_ab_ttest" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+        |           * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS ss1
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s2,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+        |           * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS ss2
+        |  FROM events WHERE event_type = 'click')
+        |SELECT n1, n2,
+        |  ROUND(CAST(s1 AS DOUBLE) / n1 / 100, 6) AS mean_1,
+        |  ROUND(CAST(s2 AS DOUBLE) / n2 / 100, 6) AS mean_2,
+        |  ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        |    / sqrt(
+        |      (CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (n1 * (n1 - 1))) / n1
+        |    + (CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / (n2 * (n2 - 1))) / n2
+        |    ), 6) AS t_stat
+        |FROM a CROSS JOIN b""".stripMargin)
+}
