@@ -113,6 +113,104 @@ object ExtraVector extends graft.QueryModule {
       .orderBy("probe_id", "rn")
   }
 
+  /** PRODUCT-QUANTIZATION ANN — the compressed-scan scale path next to
+    * [[simAnnIvf]]'s cell-pruned one: 64 dims split into m=8
+    * subspaces of 8; per subspace a small codebook (the per-label
+    * subvector means — the same deterministic label quantizer IVF's
+    * cells use, k=10 codes); every vector is ENCODED as 8 codes + its
+    * exact norm (the stored representation: ~8 bytes + 1 float per
+    * vector instead of 256 bytes — what makes a 100 TB corpus fit a
+    * memory-speed scan). Probes score ALL vectors by ADC (asymmetric
+    * distance: Σ_m probe_subvec · codebook[m][code_m], over the
+    * stored codes only — the raw vector is never touched), shortlist
+    * top-50 by approx cosine, then re-rank the shortlist EXACTLY.
+    * NO oracle (approx by design); ExtraSpec bounds recall vs
+    * q_sim_cosine_topk and pins the compression contract (codes in
+    * [0, k), shortlist scored from codes alone).
+    *
+    * Plan shape: the codebook is tiny by construction (m x k x 8
+    * doubles) -> COLLECTED and re-emitted as a literal (the IVF
+    * centroid pattern); encode and ADC are each ONE projection using
+    * interpreted HOF dots (no unrolled-tree Janino blowup); the
+    * shortlist is a per-probe WindowGroupLimit top-50; only <= 50
+    * candidates per probe ever read their raw vector again. */
+  def simAnnPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(s)
+    val m = 8
+    val sub = 8
+    // 1) codebook: per-(label, subspace) mean subvector, collected
+    val cbRows = emb(s, dir)
+      .select(col("label"), posexplode(col("e")))
+      .groupBy(col("label").cast("long").as("code"),
+        expr(s"pos div $sub").as("sp"), expr(s"pos % $sub").as("dim"))
+      .agg(avg(col("col")).as("c"))
+      .groupBy("sp", "code")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("ps"))
+      .select(col("sp"), col("code"),
+        expr("transform(ps, p -> p.c)").as("ce"))
+      .collect()
+    val codes = cbRows.map(r => (r.getLong(0), r.getLong(1))).distinct
+    // literal: CB[sp][code] = 8-dim centroid (codes are 0-based and
+    // dense by construction: label domain is 0..9)
+    val cbLit = array((0 until m).map { sp =>
+      val k = codes.count(_._1 == sp)
+      array((0 until k).map { c =>
+        val ce = cbRows.find(r => r.getLong(0) == sp && r.getLong(1) == c)
+          .get.getSeq[Double](2)
+        array(ce.map(lit(_)): _*)
+      }: _*)
+    }: _*)
+    // 2) encode: per vector, per subspace, argmin L2 over the codebook
+    //    (ties to the lower code) + exact norm — the stored PQ row
+    // the per-(subspace, code) distance lists materialize in their own
+    // projection: `dists` is referenced twice below (argmin position +
+    // min value) and is not cheap, so CollapseProject keeps it computed
+    // ONCE per vector rather than inlining two copies
+    val enc = emb(s, dir)
+      .withColumn("cb", cbLit)
+      .withColumn("dists", expr(
+        s"""transform(sequence(0, ${m - 1}), sp ->
+           |  transform(element_at(cb, sp + 1), cc -> round(
+           |    aggregate(sequence(1, $sub), 0D, (acc, i) ->
+           |      acc + (element_at(e, sp * $sub + i) - element_at(cc, i))
+           |          * (element_at(e, sp * $sub + i) - element_at(cc, i))),
+           |    9)))""".stripMargin))
+      .select(col("vec_id"), col("e"),
+        expr("sqrt(graft_dot(e, e))").as("n"),
+        expr("transform(dists, ds -> array_position(ds, array_min(ds)) - 1)")
+          .as("codes"))
+    val stored = enc.select(col("vec_id"), col("codes"), col("n"))
+    // 3) ADC scan: probes score the stored codes only
+    val probes = enc.where(col("vec_id") <= 20)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+        col("n").as("pn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val shortlist = stored.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cb", cbLit)
+      .withColumn("approx_cos", round(expr(
+        s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, sp) ->
+           |  acc + graft_dot(slice(pe, sp * $sub + 1, $sub),
+           |    element_at(element_at(cb, sp + 1),
+           |      cast(element_at(codes, sp + 1) + 1 as int))))""".stripMargin)
+        / (col("pn") * col("n")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 50)
+      .select("probe_id", "pe", "pn", "vec_id")
+    // 4) exact re-rank of the shortlist
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    shortlist.join(emb(s, dir).select(col("vec_id"), col("e"),
+        expr("sqrt(graft_dot(e, e))").as("cn")), "vec_id")
+      .withColumn("cos",
+        round(expr("graft_dot(pe, e)") / (col("pn") * col("cn")), 6))
+      .select("probe_id", "vec_id", "cos")
+      .withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= 5)
+      .orderBy("probe_id", "rn")
+  }
+
   /** Multimodal binary plumbing: text payload as an opaque binary
     * column + typed metadata, "decoded" by a partition-batched stub.
     * The mapPartitions hook is where a real image/audio decoder would
@@ -141,6 +239,7 @@ object ExtraVector extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_embed_cosine" -> dedupEmbedCosine,
     "q_sim_ann_ivf" -> simAnnIvf,
+    "q_sim_ann_pq" -> simAnnPq,
     "q_multimodal_binary" -> multimodalBinary)
 
   def oracleSql: Map[String, String] = Map(

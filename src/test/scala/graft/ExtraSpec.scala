@@ -19,6 +19,19 @@ class ExtraSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("PQ ANN recall >= 0.4 vs exact top-5 (8x8 codes, ADC shortlist 50)") {
+    val exact = run("q_sim_cosine_topk").select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = run("q_sim_ann_pq").select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+    // exact re-rank contract: 5 per probe, self excluded
+    val rows = run("q_sim_ann_pq").collect()
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 5))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("simhash buckets contain the planted minhash near-dup pairs") {
     val mh = run("q_dedup_minhash").where(col("matches") === 16)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
