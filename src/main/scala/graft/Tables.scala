@@ -19,13 +19,38 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Timestamp-column drift absorber, the generalization of the
+    * events.ts lesson (r7: the driver regenerated fixtures from
+    * timestamp[ns] to timestamp[us, isAdjustedToUTC=false] and every
+    * `ts` consumer broke): normalize a possibly-drifted timestamp
+    * column to µs TimestampType whatever the physical parquet
+    * encoding. Long = ns-fixture generations read under nanosAsLong
+    * (fixture values are µs-aligned, so div 1000 is exact);
+    * TimestampNTZ = µs/naive encodings (cast is value-identical to
+    * DuckDB's naive read under the UTC session tz); TimestampType
+    * passes through. Applied to EVERY fixture timestamp column, not
+    * just events.ts — o_orderdate / l_shipdate are one fixture
+    * regeneration away from the same breakage. */
+  private def normTs(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(c, col(c).cast("timestamp"))
+      case _ => df
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normTs(t(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normTs(t(s, d, "lineitem"), "l_shipdate")
   /** events.ts normalizer — absorbs fixture-schema drift so every
     * downstream operator always sees `ts: TimestampType` (UTC session tz).
     * Physical encodings seen across driver fixture generations:
@@ -42,17 +67,8 @@ object Tables {
     *   - already TimestampType: pass through.
     * Every real user hits one of these the first time their parquet
     * writer flips isAdjustedToUTC — this is the drift absorber. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "events")
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    normTs(t(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

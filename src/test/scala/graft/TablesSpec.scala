@@ -27,6 +27,27 @@ class TablesSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("every fixture timestamp column is normalized, not only events.ts") {
+    // o_orderdate / l_shipdate are one driver fixture regeneration away
+    // from the exact r7 breakage; the loaders absorb it the same way
+    assert(Tables.orders(spark, dir).schema("o_orderdate").dataType
+      == TimestampType)
+    assert(Tables.lineitem(spark, dir).schema("l_shipdate").dataType
+      == TimestampType)
+    // the NTZ branch produces the same instants a drifted fixture would
+    val out = sources.Store.scopedPath(spark, dir, "tables_spec_ntz_ord")
+    Tables.orders(spark, dir)
+      .withColumn("o_orderdate", col("o_orderdate").cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(out)
+    val drifted = spark.read.parquet(out)
+    assert(drifted.schema("o_orderdate").dataType == TimestampNTZType)
+    val viaCast = drifted.select(col("o_orderkey"),
+      expr("unix_micros(cast(o_orderdate as timestamp))").as("us"))
+    val direct = Tables.orders(spark, dir).select(col("o_orderkey"),
+      expr("unix_micros(o_orderdate)").as("us"))
+    assert(viaCast.except(direct).isEmpty && direct.except(viaCast).isEmpty)
+  }
+
   test("NTZ branch: an in-memory TIMESTAMP_NTZ events frame casts value-identically under UTC") {
     // Simulate the r7 fixture drift explicitly: write an NTZ copy of the
     // events table, read it raw, and check the cast the loader applies is
