@@ -105,11 +105,10 @@ object Pipeline2 extends graft.QueryModule {
       java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff))
       .replaceAll("[^a-zA-Z0-9_]", "_")
 
-  /** Partitioned parquet sink + partition-pruned scan: write a slice of
-    * orders partitioned by o_orderstatus, read back ONE partition (the
-    * scan lists only that directory — the layout that makes 100 TB
-    * date/status-partitioned lakes scannable). */
-  def sourcePartitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+  /** The status-partitioned orders slice, written once per (session,
+    * sfDir) — shared by the partitioned roundtrip (static pruning) and
+    * the DPP demo (runtime pruning). */
+  private def ensurePartitionedOrders(s: SparkSession, dir: String): String = {
     val out =
       s"${System.getProperty("java.io.tmpdir")}/graft_part_roundtrip_${runTag(s, dir)}"
     if (!new java.io.File(out, "_SUCCESS").exists()) {
@@ -119,12 +118,44 @@ object Pipeline2 extends graft.QueryModule {
           "o_orderstatus")
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     }
-    s.read.parquet(out)
+    out
+  }
+
+  /** Partitioned parquet sink + partition-pruned scan: write a slice of
+    * orders partitioned by o_orderstatus, read back ONE partition (the
+    * scan lists only that directory — the layout that makes 100 TB
+    * date/status-partitioned lakes scannable). */
+  def sourcePartitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(ensurePartitionedOrders(s, dir))
       .where(col("o_orderstatus") === "F")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("cnt"),
         sum(dec2("o_totalprice")).cast("double").as("sum_total"))
       .orderBy("o_orderpriority")
+  }
+
+  /** DYNAMIC partition pruning over the status-partitioned orders
+    * slice: the partition filter is NOT a literal — it is the set of
+    * statuses observed among early urgent orders, derived from a scan
+    * — so static pruning cannot apply and Catalyst instead plants a
+    * `dynamicpruningexpression` subquery on the partitioned scan
+    * (reusing the dim's broadcast): partitions are listed and skipped
+    * AT RUNTIME. On a 100 TB date/status-partitioned lake this is the
+    * difference between scanning every partition and scanning the few
+    * a runtime-joined dim selects — the mechanism behind star-schema
+    * "join elimination by partition". PlanShapeSpec pins the
+    * dynamicpruning expression on the scan. */
+  def scanDpp(s: SparkSession, dir: String): DataFrame = {
+    val fact = s.read.parquet(ensurePartitionedOrders(s, dir))
+    val dim = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") < 2000)
+      .select(col("o_orderstatus").as("st")).distinct()
+    fact.join(broadcast(dim), fact("o_orderstatus") === dim("st"))
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2("o_totalprice")).cast("double").as("sum_total"))
+      .orderBy("o_orderstatus", "o_orderpriority")
   }
 
   /** Bucketed co-located join — the 100 TB fact⋈fact technique this
@@ -246,7 +277,8 @@ object Pipeline2 extends graft.QueryModule {
     "q_vec_quantize_int8" -> vecQuantizeInt8,
     "q_dedup_near_prune" -> dedupNearPrune,
     "q_join_skew_salted" -> joinSkewSalted,
-    "q_source_partitioned_roundtrip" -> sourcePartitionedRoundtrip)
+    "q_source_partitioned_roundtrip" -> sourcePartitionedRoundtrip,
+    "q_scan_dpp" -> scanDpp)
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_listagg" ->
@@ -349,5 +381,17 @@ object Pipeline2 extends graft.QueryModule {
       """SELECT o_orderpriority, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
         |FROM orders WHERE o_orderkey < 4000 AND o_orderstatus = 'F'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_scan_dpp" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT o_orderstatus FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 2000)
+        |SELECT f.o_orderstatus, f.o_orderpriority,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(f.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_total
+        |FROM (SELECT * FROM orders WHERE o_orderkey < 4000) f
+        |JOIN dim USING (o_orderstatus)
+        |GROUP BY f.o_orderstatus, f.o_orderpriority
+        |ORDER BY f.o_orderstatus, f.o_orderpriority""".stripMargin)
 }

@@ -41,6 +41,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unpruned ReadSchema: $readSchema")
   }
 
+  test("q_scan_dpp plants a dynamicpruning subquery on the partitioned scan") {
+    val plan = physical("q_scan_dpp")
+    assert(plan.contains("dynamicpruning"),
+      s"no runtime partition pruning in:\n$plan")
+  }
+
   test("q_limit_topk fuses to TakeOrderedAndProject (no global sort)") {
     assert(physical("q_limit_topk").contains("TakeOrderedAndProject"))
   }
