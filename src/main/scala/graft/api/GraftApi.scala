@@ -1353,11 +1353,17 @@ object Rel {
     * the result still push down to the base scan on both union
     * branches. The grouped/windowed alternatives (max_by(version) or
     * row_number over key) shuffle the whole base on the key; this
-    * shape is why merge-on-read readers win at scale. */
+    * shape is why merge-on-read readers win at scale.
+    *
+    * `broadcastChanges = false` drops the broadcast hint for the rare
+    * backfill-sized delta that exceeds executor memory: the anti-join
+    * then plans as a shuffle join on the key — pay one base shuffle
+    * rather than an OOM. Same results either way. */
   def mergeUpsert(base: DataFrame, changes: DataFrame, keyCol: String,
-      opCol: String = "op"): DataFrame = {
+      opCol: String = "op", broadcastChanges: Boolean = true): DataFrame = {
     val touched = changes.select(col(keyCol)).distinct()
-    base.join(broadcast(touched), Seq(keyCol), "left_anti")
+    val probe = if (broadcastChanges) broadcast(touched) else touched
+    base.join(probe, Seq(keyCol), "left_anti")
       .unionByName(changes.where(col(opCol) === "U").drop(opCol))
   }
 

@@ -22,6 +22,18 @@ class Pipeline8Spec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, "a"), (2L, "B"), (4L, "d")))
   }
 
+  test("Rel.mergeUpsert: shuffle fallback (broadcastChanges=false) gives identical results") {
+    val sp = spark
+    import sp.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq((2L, "B", "U"), (3L, "c", "D"), (4L, "d", "U"))
+      .toDF("k", "v", "op")
+    val bc = api.Rel.mergeUpsert(base, changes, "k")
+    val sh = api.Rel.mergeUpsert(base, changes, "k",
+      broadcastChanges = false)
+    assert(bc.exceptAll(sh).isEmpty && sh.exceptAll(bc).isEmpty)
+  }
+
   test("Rel.scd2History: runs collapse to change points, ts ties break by id, open tail") {
     val sp = spark
     import sp.implicits._

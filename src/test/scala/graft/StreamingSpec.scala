@@ -361,6 +361,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file sink + checkpoint: restart resumes exactly-once, batch-read equals batch twin") {
+    // the production sink shape (memory sink is test-only): append a
+    // windowed agg to parquet with a checkpoint, STOP the query
+    // mid-stream, start a NEW query on the same checkpoint, feed the
+    // rest — the checkpoint must dedupe re-delivery so the parquet
+    // directory batch-reads exactly to the batch twin over closed
+    // windows.
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_fsink_$tag"
+    val ckDir = s"${System.getProperty("java.io.tmpdir")}/graft_fsink_ck_$tag"
+    val data = eventsSample()
+    val (a, b) = data.splitAt(data.size / 2)
+    val mem = MemoryStream[Ev]
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+    def start() = agg(mem.toDF()).writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try { mem.addData(a); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { mem.addData(b); q2.processAllAvailable() } finally q2.stop()
+    // append mode only emits windows the watermark has closed; compute
+    // the closed set from the fed data and compare against the batch twin
+    val maxTs = data.map(_.ts.getTime).max
+    val closed = col("ws") < new Timestamp(
+      (maxTs - 60 * 1000) / 3600000 * 3600000)
+    val streamed = sp.read.parquet(outDir).where(closed)
+    val batch = agg(Tables.events(spark, dir)).where(closed)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "file-sink restart diverged from batch twin on closed windows")
+  }
+
   test("transformWithState (Spark 4 StatefulProcessor) == batch per-user agg") {
     val sp = spark
     import sp.implicits._
