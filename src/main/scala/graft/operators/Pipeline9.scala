@@ -86,8 +86,34 @@ object Pipeline9 extends graft.QueryModule {
           "), 6)").as("t_stat"))
   }
 
+  /** Event-sequence PATTERN detection — the MATCH_RECOGNIZE gap:
+    * find every user position where click → error → purchase occur as
+    * three CONSECUTIVE events (by (ts, event_id) order), reporting
+    * the match span. A lead-chain over one per-user window: Spark
+    * evaluates all three lookaheads in a single window pass, so the
+    * cost is one key shuffle + per-user sort regardless of pattern
+    * length — the standard Spark encoding of fixed-length
+    * MATCH_RECOGNIZE patterns. */
+  def winPattern(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("end_id", lead(col("event_id"), 2).over(w))
+      .withColumn("end_ts", lead(col("ts"), 2).over(w))
+      .where(col("event_type") === "click" && col("t1") === "error" &&
+        col("t2") === "purchase")
+      .select(col("user_id"), col("event_id").as("start_id"),
+        col("ts").as("start_ts"), col("end_id"),
+        (expr("unix_micros(end_ts)") - expr("unix_micros(ts)"))
+          .as("span_us"))
+      .orderBy("user_id", "start_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_streak" -> winStreak,
+    "q_win_pattern" -> winPattern,
     "q_profile_freshness" -> profileFreshness,
     "q_ml_ab_ttest" -> mlAbTtest)
 
@@ -115,6 +141,20 @@ object Pipeline9 extends graft.QueryModule {
         |       b.start AS streak_start
         |FROM best b JOIN tot t USING (user_id)
         |WHERE b.rk = 1 ORDER BY b.user_id""".stripMargin,
+    "q_win_pattern" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2,
+        |    lead(event_id, 2) OVER w AS end_id,
+        |    lead(ts, 2) OVER w AS end_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS start_id, ts AS start_ts, end_id,
+        |  CAST(epoch_us(end_ts) - epoch_us(ts) AS BIGINT) AS span_us
+        |FROM seq
+        |WHERE event_type = 'click' AND t1 = 'error' AND t2 = 'purchase'
+        |ORDER BY user_id, start_id""".stripMargin,
     "q_profile_freshness" ->
       """WITH per AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -36,6 +36,34 @@ class Pipeline9Spec extends AnyFunSuite {
     assert(r.head.getLong(2) == best)
   }
 
+  test("winPattern: only strictly consecutive click-error-purchase triples match") {
+    val sp = spark
+    import sp.implicits._
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // u1: exact triple at 1,2,3 -> one match
+      (1L, t(1), 1L, "click"), (2L, t(2), 1L, "error"),
+      (3L, t(3), 1L, "purchase"),
+      // u2: click, error, VIEW, purchase -> interrupted, no match
+      (4L, t(1), 2L, "click"), (5L, t(2), 2L, "error"),
+      (6L, t(3), 2L, "view"), (7L, t(4), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .select("event_id", "ts", "user_id", "event_type")
+    // drive the api shape directly on the planted frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.col("user_id"))
+      .orderBy(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id"))
+    import org.apache.spark.sql.functions._
+    val r = ev
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .where(col("event_type") === "click" && col("t1") === "error" &&
+        col("t2") === "purchase")
+      .select("user_id", "event_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L)))
+  }
+
   test("profileFreshness: newest series reads 0 minutes behind, others non-negative") {
     val r = graft.operators.Pipeline9.profileFreshness(spark, dir).collect()
     assert(r.length == 5)
