@@ -776,14 +776,18 @@ object Dedup {
       // gram-doc).
       .groupBy(col("__k"), col(idCol))
       .agg(min("gram").as("gram"), count(lit(1)).as("occ"),
-        min(col(idCol) * 1000 + col("pos")).as("ref"))
+        min("pos").as("__mp"))
       .groupBy("__k")
+      // first occurrence = lexicographic min (doc, pos): min doc +
+      // min_by on its per-doc min pos — doc ids are unique per gram
+      // here, so min_by is deterministic; no arithmetic encoding, so
+      // arbitrary id magnitudes and >=1000-token docs are safe
       .agg(min("gram").as("gram"), count(lit(1)).as("n_docs"),
-        sum("occ").as("n_occ"), min("ref").as("__ref"))
+        sum("occ").as("n_occ"), min(col(idCol)).as("first_doc"),
+        min_by(col("__mp"), col(idCol)).cast("long").as("first_pos"))
       .where(col("n_docs") >= 2)
       .select(col("gram"), col("n_docs"), col("n_occ"),
-        expr("__ref div 1000").as("first_doc"),
-        expr("__ref % 1000").as("first_pos"))
+        col("first_doc"), col("first_pos"))
 
   def fuzzyPairs(docs: DataFrame, idCol: String, textCol: String,
       block: Column, prefixLen: Int, maxDist: Int): DataFrame = {
@@ -1373,6 +1377,16 @@ object Rel {
     * previous row, null-safely) and emit versioned validity
     * intervals: `valid_from` = the change's timestamp, `valid_to` =
     * the NEXT change's (NULL while current), `version` 1-based.
+    *
+    * NULL-attr semantics: the change-point filter is
+    * `NOT (prev <=> attr)` — the SQL `prev IS DISTINCT FROM attr`.
+    * A NULL→NULL repeat is NOT a change (dropped), a value→NULL or
+    * NULL→value transition IS (kept), and a key's first row is a
+    * change iff its attr is non-NULL (lag(1) yields NULL-prev, so a
+    * key whose log STARTS with NULL attrs opens its history at the
+    * first non-NULL — an all-NULL key emits no versions). An oracle twin
+    * must use IS DISTINCT FROM, not `prev IS NULL OR prev <> attr`,
+    * which diverges on NULL attrs in both directions.
     * Timestamp ties break by `tieCol` (a unique row id), so the
     * history is deterministic under duplicate timestamps.
     *
@@ -1587,7 +1601,17 @@ object Profile {
     * number of distinct-measures); true = approx_count_distinct per
     * column at relative error `rsd` — a mergeable HLL± partial agg
     * with NO Expand, so the pass stays one narrow scan regardless of
-    * how many columns are profiled. */
+    * how many columns are profiled.
+    *
+    * The exact path executes `df` k+1 times (one pruned branch per
+    * column + the n_rows branch) and assumes a SCAN-BACKED input:
+    * for a bare parquet relation each branch prunes to one column,
+    * so total bytes read equal one wide scan. A derived or expensive
+    * upstream frame multiplies its cost k+1×, and a non-deterministic
+    * one can make branches mutually inconsistent — callers in that
+    * position should `localCheckpoint()` (or persist) the input
+    * first, or use `approx = true`, whose single agg executes the
+    * input exactly once. */
   def columns(df: DataFrame, cols: Seq[(String, Column)],
       approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
     if (approx) {

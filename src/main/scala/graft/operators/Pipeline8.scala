@@ -177,7 +177,7 @@ object Pipeline8 extends graft.QueryModule {
         |           ORDER BY ts, event_id) AS prev
         |  FROM events),
         |cp AS (SELECT * FROM ch
-        |       WHERE prev IS NULL OR prev <> event_type)
+        |       WHERE prev IS DISTINCT FROM event_type)
         |SELECT user_id,
         |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
         |  event_type, ts AS valid_from,
@@ -220,15 +220,18 @@ object Pipeline8 extends graft.QueryModule {
         |            for i in range(1, len(l) - 6)]) AS gram,
         |    unnest([i - 1 for i in range(1, len(l) - 6)]) AS pos
         |  FROM tok),
+        |perdoc AS (
+        |  SELECT gram, doc_id, CAST(COUNT(*) AS BIGINT) AS occ,
+        |         MIN(pos) AS min_pos
+        |  FROM occ GROUP BY gram, doc_id),
         |dup AS (
         |  SELECT gram,
-        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |    CAST(COUNT(*) AS BIGINT) AS n_occ,
-        |    MIN(doc_id * 1000 + pos) AS ref
-        |  FROM occ GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)
-        |SELECT gram, n_docs, n_occ,
-        |  CAST(ref // 1000 AS BIGINT) AS first_doc,
-        |  CAST(ref % 1000 AS BIGINT) AS first_pos
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(occ) AS BIGINT) AS n_occ,
+        |    CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |    CAST(ARG_MIN(min_pos, doc_id) AS BIGINT) AS first_pos
+        |  FROM perdoc GROUP BY gram HAVING COUNT(*) >= 2)
+        |SELECT gram, n_docs, n_occ, first_doc, first_pos
         |FROM dup ORDER BY gram""".stripMargin,
     "q_events_dau_mau" ->
       """WITH act AS (

@@ -63,27 +63,35 @@ object Pipeline9 extends graft.QueryModule {
 
   /** Welch two-sample t-test between purchase and click values — the
     * A/B readout, computed ENTIRELY from exact integer moments
-    * (n, Σcents, Σcents² per side; cents² sums stay far under 2^63 at
-    * any realistic value scale) so neither engine's variance kernel is
-    * trusted: s² = (n·Σx² − (Σx)²)/(n·(n−1)) in cents², then
-    * t = (m1 − m2)/√(s1²/n1 + s2²/n2) as one fixed dag of IEEE-exact
-    * double ops, rounded to 6 dp. Means reported in dollars. One
-    * filtered scan, two 1-row agg branches, broadcast cross. */
+    * (n, Σcents, Σcents² per side) so neither engine's variance kernel
+    * is trusted: the numerator n·Σx² − (Σx)² is formed in
+    * decimal(38,0) (Spark) / HUGEINT (DuckDB) — exact to ~1e38, so
+    * even n≈1e12 rows of 1e4-cent values (n·Σx² ≈ 1e32) stay exact,
+    * where the old int64 form wrapped at ~30× sf0.1 — then the
+    * IDENTICAL integer casts to double in both engines and divides
+    * sequentially by n, (n−1), n as doubles (never forming the
+    * int64-overflowable n·(n−1) product). t = (m1 − m2)/√(s1²/n1 +
+    * s2²/n2) as one fixed dag of IEEE-exact double ops, rounded 6 dp.
+    * Means in dollars. One filtered scan, two 1-row agg branches,
+    * broadcast cross. */
   def mlAbTtest(s: SparkSession, dir: String): DataFrame = {
     def side(tpe: String, tag: String) =
       Tables.events(s, dir).where(col("event_type") === tpe)
         .select(expr("cast(round(value * 100) as bigint)").as("c"))
         .agg(count(lit(1)).as(s"n$tag"), sum("c").as(s"s$tag"),
-          sum(expr("c * c")).as(s"ss$tag"))
+          // Σc² in decimal: at ~1e12 rows of 1e4-cent values the int64
+          // sum (~1e20) would wrap; decimal(38,0) is exact to ~1e38.
+          sum(expr("cast(c as decimal(19,0)) * c")).as(s"ss$tag"))
+    def varTerm(tag: String): String =
+      s"cast(cast(n$tag as decimal(38,0)) * ss$tag" +
+        s" - cast(s$tag as decimal(38,0)) * s$tag as double)" +
+        s" / n$tag / (n$tag - 1) / n$tag"
     side("purchase", "1").crossJoin(broadcast(side("click", "2")))
       .select(col("n1"), col("n2"),
         expr("round(cast(s1 as double) / n1 / 100, 6)").as("mean_1"),
         expr("round(cast(s2 as double) / n2 / 100, 6)").as("mean_2"),
         expr("round((cast(s1 as double) / n1 - cast(s2 as double) / n2)" +
-          " / sqrt(" +
-          "  (cast(n1 * ss1 - s1 * s1 as double) / (n1 * (n1 - 1))) / n1" +
-          " + (cast(n2 * ss2 - s2 * s2 as double) / (n2 * (n2 - 1))) / n2" +
-          "), 6)").as("t_stat"))
+          s" / sqrt(${varTerm("1")} + ${varTerm("2")}), 6)").as("t_stat"))
   }
 
   /** Event-sequence PATTERN detection — the MATCH_RECOGNIZE gap:
@@ -170,22 +178,26 @@ object Pipeline9 extends graft.QueryModule {
       """WITH a AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
         |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s1,
-        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
-        |           * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS ss1
+        |    SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)
+        |           * CAST(ROUND(value * 100) AS BIGINT)) AS ss1
         |  FROM events WHERE event_type = 'purchase'),
         |b AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n2,
         |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s2,
-        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
-        |           * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS ss2
+        |    SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)
+        |           * CAST(ROUND(value * 100) AS BIGINT)) AS ss2
         |  FROM events WHERE event_type = 'click')
         |SELECT n1, n2,
         |  ROUND(CAST(s1 AS DOUBLE) / n1 / 100, 6) AS mean_1,
         |  ROUND(CAST(s2 AS DOUBLE) / n2 / 100, 6) AS mean_2,
         |  ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
         |    / sqrt(
-        |      (CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (n1 * (n1 - 1))) / n1
-        |    + (CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / (n2 * (n2 - 1))) / n2
+        |      CAST(CAST(n1 AS HUGEINT) * ss1
+        |           - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |        / n1 / (n1 - 1) / n1
+        |    + CAST(CAST(n2 AS HUGEINT) * ss2
+        |           - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+        |        / n2 / (n2 - 1) / n2
         |    ), 6) AS t_stat
         |FROM a CROSS JOIN b""".stripMargin)
 }
