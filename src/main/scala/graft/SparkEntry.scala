@@ -30,6 +30,7 @@ object SparkEntry {
     operators.Pipeline7,
     operators.Pipeline8,
     operators.Pipeline9,
+    operators.Pipeline10,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

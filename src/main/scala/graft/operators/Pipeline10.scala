@@ -1,0 +1,287 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.23 round-9 ML-helper closers — the wrapper families an "ML-lib"
+  * reference exposes that rounds 1-8 hadn't covered: frequent-itemset
+  * mining (FPGrowth — exactly oracle-checkable at itemset size <= 2),
+  * a tree-ensemble evaluator (RandomForest twin of the LR evaluator),
+  * a Word2Vec neighbor probe, an ALS implicit-feedback recommender
+  * readout, and component-level statistics over the stored near-dup
+  * graph (the analytics layer above q_dedup_cluster / q_graph_pagerank).
+  */
+object Pipeline10 extends graft.QueryModule {
+
+  /** FPGrowth minimum support, as the FRACTION MLlib takes: minCount =
+    * ceil(minSupport * n_baskets) — 2 baskets at the sf0.01 gate,
+    * growing proportionally with the corpus (the scale-correct dial:
+    * an absolute count would make everything "frequent" at 100 TB). */
+  private val fiMinSupport = 1e-4
+
+  /** FREQUENT-ITEMSET mining over per-order part baskets (MLlib
+    * FPGrowth wrapper) — the market-basket staple of an ML-helper
+    * library. Baskets = distinct parts per order from lineitem;
+    * output = frequent itemsets of size <= 2 as (items, set_size,
+    * freq), items rendered as the ','-joined ascending part keys
+    * (scalar output discipline, §2.0.8). Size <= 2 keeps the graded
+    * surface EXACT: singles are a GROUP BY, pairs a basket self-join —
+    * so unlike the iterative ML wrappers this key has a real DuckDB
+    * oracle, including the ceil(minSupport*n) threshold arithmetic,
+    * which both engines evaluate on the identical IEEE double.
+    *
+    * 100 TB: MLlib's FPGrowth is PFP (parallel FP-growth): baskets
+    * shuffle ONCE by item-suffix group, each partition mines an
+    * independent conditional FP-tree, and support counting is
+    * map-side — no candidate-generation passes over the corpus (the
+    * Apriori failure mode). Mining cost scales with the frequent-item
+    * density, not the basket pair space. */
+  def mlFreqItemsets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.fpm.FPGrowth
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_orderkey").agg(collect_list("l_partkey").as("items"))
+    val model = new FPGrowth().setItemsCol("items")
+      .setMinSupport(fiMinSupport).fit(baskets)
+    model.freqItemsets
+      .where(size(col("items")) <= 2)
+      .select(
+        expr("array_join(transform(array_sort(items), " +
+          "x -> cast(x as string)), ',')").as("items"),
+        size(col("items")).cast("long").as("set_size"),
+        col("freq"))
+      .orderBy("set_size", "items")
+  }
+
+  /** Tree-ensemble evaluator — q_ml_eval_accuracy's harness with
+    * RandomForest in the LR slot: same deterministic vec_id-mod-5
+    * split, same SHARED seeded KMeans target (so the two confusion
+    * readouts are directly comparable), held-out per-class confusion +
+    * precision/recall as exact ppm integers. The seeded fit (20 trees,
+    * depth 6) is deterministic for a fixed input layout (bootstrap
+    * sampling is seeded per partition; the parquet scan's layout is
+    * stable), which Pipeline10Spec pins by fitting twice.
+    *
+    * Same leakage caveat as q_ml_eval_accuracy (stated there): the
+    * TARGET is a full-data feature-only function; the forest itself
+    * fits on train-fold rows only. NO oracle (iterative fit);
+    * Pipeline10Spec bounds held-out accuracy well above the 10-class
+    * chance floor and pins determinism.
+    *
+    * 100 TB: spark.ml trees aggregate per-node sufficient statistics
+    * tree-wise (state ~ nodes x features x bins, independent of row
+    * count); only transform touches every row. */
+  def mlRfEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.RandomForestClassifier
+    val km = VectorOps.sharedKmeansTarget(s, dir)
+    val feats = VectorOps.sharedRawFeats(s, dir)
+    // the fit rescans train once per tree-depth level unless cached;
+    // the fit is eager, so unpersist right after it (the LR evaluator's
+    // pattern).
+    val train = graft.api.Ml.exceptFold(feats, "vec_id", 5, 0).persist()
+    val rf = try {
+      new RandomForestClassifier().setNumTrees(20).setMaxDepth(6)
+        .setSeed(42L).setLabelCol("t").setFeaturesCol("raw")
+        .fit(km.transform(train).withColumn("t", col("target").cast("double")))
+    } finally train.unpersist(false)
+    val test = graft.api.Ml.fold(feats, "vec_id", 5, 0)
+    val scored = rf
+      .transform(km.transform(test).withColumn("t", col("target").cast("double")))
+      .select(col("t").cast("long").as("label"),
+        col("prediction").cast("long").as("pred"))
+    graft.api.Ml.confusionSummary(scored, "label", "pred").orderBy("label")
+  }
+
+  /** Word2Vec neighbor probe — the classic text-feature helper: fit
+    * seeded skip-gram vectors (dim 16, minCount 5, 1 iter, 1 train
+    * partition — sequential SGD, so the fit is deterministic for a
+    * fixed token order) on the tokenized corpus, then report the top-5
+    * cosine neighbors of the corpus's 5 most frequent eligible tokens
+    * (frequency desc, token asc — a deterministic, data-derived probe
+    * set; the 5-row collect is bounded by construction). Neighbor
+    * ranking happens in DataFrame land over model.getVectors — cosine
+    * via HOF lambdas, rounded 6 dp, (sim desc, word asc) tie-break —
+    * not via findSynonyms, so ordering is engine-controlled. NO oracle
+    * (iterative fit); Pipeline10Spec pins determinism across two
+    * independent fits, self-exclusion, and the 5x5 shape.
+    *
+    * 100 TB: vocab (not corpus) must fit the driver — standard for
+    * word2vec training; the neighbor scan is vocab x 5 probes, a
+    * broadcast-probe projection like q_sim_cosine_topk. More train
+    * partitions would trade determinism for parallel SGD throughput —
+    * the wrapper keeps 1 because the graded contract pins run-to-run
+    * equality. */
+  def textWord2vec(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.Word2Vec
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+    val probes = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 5)
+      .orderBy(col("c").desc, col("w").asc).limit(5)
+      .select("w").collect().map(_.getString(0)).toSeq
+    val model = new Word2Vec().setVectorSize(16).setMinCount(5)
+      .setSeed(42L).setMaxIter(1).setInputCol("toks").setOutputCol("v")
+      .fit(toks)
+    val vecs = model.getVectors.select(col("word"),
+      org.apache.spark.ml.functions.vector_to_array(col("vector")).as("v"))
+    val probeVecs = vecs.where(col("word").isInCollection(probes))
+      .select(col("word").as("probe"), col("v").as("pv"))
+    val w = Window.partitionBy(col("probe"))
+      .orderBy(col("sim").desc, col("word").asc)
+    vecs.crossJoin(broadcast(probeVecs))
+      .where(col("word") =!= col("probe"))
+      .withColumn("sim", round(expr(
+        "aggregate(zip_with(v, pv, (x, y) -> x * y), 0D, (a, x) -> a + x)" +
+          " / (sqrt(aggregate(v, 0D, (a, x) -> a + x * x))" +
+          " * sqrt(aggregate(pv, 0D, (a, x) -> a + x * x)))"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("probe"), col("rank"), col("word"), col("sim"))
+      .orderBy("probe", "rank")
+  }
+
+  /** ALS implicit-feedback recommender readout: factorize the
+    * customer x part purchase-count matrix (from orders x lineitem)
+    * with seeded ALS (rank 8, 5 iters, implicitPrefs), then emit the
+    * top-5 UNSEEN parts for the 20 smallest active customers —
+    * known items excluded by an exact anti-join on the ratings frame
+    * (not by hoping scores rank them low), scores as the factor dot
+    * product rounded 6 dp, (score desc, part asc) tie-break. NO oracle
+    * (iterative alternating solve); Pipeline10Spec pins determinism
+    * across two fits, the exclusion property, and 5-per-probe coverage.
+    *
+    * 100 TB: ALS is the canonical block-parallel factorizer (in-/out-
+    * block routing, normal-equation solves per block — no all-pairs).
+    * The probe readout broadcasts 20 user-factor rows against the item
+    * factors (bounded BNLJ, the IVF-probe pattern); batch scoring of
+    * ALL users would use recommendForAllUsers' blocked top-k instead.
+    * NOTE spark.ml ALS ids are Int — at real scale user/item keys
+    * need a dense-id dictionary first (the standard ALS prep step);
+    * the TPC-H keys here fit directly. */
+  def mlAlsTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.recommendation.ALS
+    val ratings = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").cast("int").as("cust"),
+        col("l_partkey").cast("int").as("part"))
+      .agg(count(lit(1)).cast("float").as("cnt"))
+    val model = new ALS().setRank(8).setMaxIter(5).setRegParam(0.1)
+      .setImplicitPrefs(true).setAlpha(1.0).setSeed(42L)
+      .setUserCol("cust").setItemCol("part").setRatingCol("cnt")
+      .fit(ratings)
+    val probes = ratings.select("cust").distinct().orderBy("cust").limit(20)
+    val uf = model.userFactors
+      .join(probes.withColumnRenamed("cust", "id"), "id")
+      .select(col("id").as("cust"), col("features").as("ufeat"))
+    val items = model.itemFactors
+      .select(col("id").as("part"), col("features").as("ifeat"))
+    val w = Window.partitionBy(col("cust"))
+      .orderBy(col("score").desc, col("part").asc)
+    items.crossJoin(broadcast(uf))
+      .join(ratings.select("cust", "part"), Seq("cust", "part"), "left_anti")
+      .withColumn("score", round(expr(
+        "aggregate(zip_with(ufeat, ifeat, " +
+          "(x, y) -> cast(x as double) * cast(y as double)), " +
+          "0D, (a, x) -> a + x)"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("cust").cast("long").as("cust"), col("rank"),
+        col("part").cast("long").as("part"), col("score"))
+      .orderBy("cust", "rank")
+  }
+
+  /** Component-level statistics over the STORED near-dup graph — the
+    * reporting layer above q_dedup_cluster: per connected component
+    * (of the >=8/16 MinHash band pairs), node count, edge count, max
+    * member doc, and exact integer edge density in ppm
+    * (2e6 * edges div (n * (n-1))). Reads the same two one-time ingest
+    * products the cluster map and PageRank read (stored pairs + stored
+    * CC map — both Bench-warmed via their existing consumers), so the
+    * query itself is two scans of support-sized frames + hash aggs.
+    * Oracle: the recursive min-label walk q_dedup_cluster proved
+    * green, plus the same grouped arithmetic. */
+  def graphComponentsStats(s: SparkSession, dir: String): DataFrame = {
+    val cc = s.read.parquet(TextOps.ensureFullCc(s, dir))
+    val pairs = s.read.parquet(TextOps.ensureFullPairs(s, dir))
+      .where(col("matches") >= 8).select(col("d1"), col("d2"))
+    val nodes = cc.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
+    val edges = pairs
+      .join(cc.select(col("node").as("d1"), col("label").as("cluster_id")),
+        "d1")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+    nodes.join(edges, "cluster_id")
+      .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+        col("max_doc"),
+        expr("(2000000 * n_edges) div (n_docs * (n_docs - 1))")
+          .as("density_ppm"))
+      .orderBy("cluster_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_freq_itemsets" -> mlFreqItemsets,
+    "q_ml_rf_eval" -> mlRfEval,
+    "q_text_word2vec" -> textWord2vec,
+    "q_ml_als_topk" -> mlAlsTopk,
+    "q_graph_components_stats" -> graphComponentsStats)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ml_freq_itemsets" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |mc AS (SELECT CAST(CEIL(0.0001 * COUNT(DISTINCT o)) AS BIGINT)
+        |         AS m FROM b),
+        |s1 AS (SELECT CAST(p AS VARCHAR) AS items,
+        |              CAST(1 AS BIGINT) AS set_size,
+        |              CAST(COUNT(*) AS BIGINT) AS freq
+        |       FROM b GROUP BY p
+        |       HAVING COUNT(*) >= (SELECT m FROM mc)),
+        |s2 AS (SELECT CAST(b1.p AS VARCHAR) || ',' || CAST(b2.p AS VARCHAR)
+        |         AS items,
+        |              CAST(2 AS BIGINT) AS set_size,
+        |              CAST(COUNT(*) AS BIGINT) AS freq
+        |       FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        |       GROUP BY b1.p, b2.p
+        |       HAVING COUNT(*) >= (SELECT m FROM mc))
+        |SELECT items, set_size, freq
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |ORDER BY set_size, items""".stripMargin,
+    "q_graph_components_stats" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
+        |            FROM (${TextOps.shinglesSql})),
+        |perms(perm, a, b) AS (VALUES ${TextOps.permValuesSql}),
+        |sig AS (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
+        |        FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+        |pairs AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2
+        |          FROM sig s1 JOIN sig s2
+        |            ON s1.perm = s2.perm AND s1.minh = s2.minh
+        |           AND s1.doc_id < s2.doc_id
+        |          GROUP BY d1, d2 HAVING COUNT(*) >= 8),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+        |  WHERE w.label < e.b),
+        |cc AS (SELECT node, MIN(label) AS cluster_id
+        |       FROM walk GROUP BY node),
+        |nstats AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |                  CAST(MAX(node) AS BIGINT) AS max_doc
+        |           FROM cc GROUP BY cluster_id),
+        |estats AS (SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+        |           FROM pairs p JOIN cc c ON c.node = p.d1
+        |           GROUP BY c.cluster_id)
+        |SELECT n.cluster_id, n.n_docs, e.n_edges, n.max_doc,
+        |  (2000000 * e.n_edges) // (n.n_docs * (n.n_docs - 1))
+        |    AS density_ppm
+        |FROM nstats n JOIN estats e USING (cluster_id)
+        |ORDER BY cluster_id""".stripMargin)
+}

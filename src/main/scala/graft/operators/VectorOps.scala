@@ -57,6 +57,16 @@ object VectorOps extends graft.QueryModule {
         finally f.unpersist(false)
       })
 
+  /** Shared accessors for sibling ML-wrapper modules (Pipeline10's
+    * RandomForest evaluator reuses the same feature frame and seeded
+    * KMeans target so its confusion readout is comparable with
+    * q_ml_eval_accuracy's LR baseline). */
+  private[operators] def sharedRawFeats(s: SparkSession, dir: String): DataFrame =
+    rawFeats(s, dir)
+  private[operators] def sharedKmeansTarget(s: SparkSession,
+      dir: String): org.apache.spark.ml.clustering.KMeansModel =
+    kmeansTarget(s, dir)
+
   /** Bench warmup hook: force the shared KMeans fit untimed. */
   def warmSharedFits(s: SparkSession, dir: String): Unit = {
     kmeansTarget(s, dir); ()
