@@ -67,9 +67,10 @@ object Bench {
         // consumer path
         "q_agg_sketch_store_rollup", "q_dedup_incremental",
         "q_dedup_jaccard", "q_dedup_chunk_incremental",
-        // stored survivor corpus (Pipeline7.ensureSurvivors) consumed
-        // by the output-leg composition
-        "q_pipeline_output",
+        // stored stage map + survivor corpus (Pipeline7.ensureStageMap
+        // / ensureSurvivors) consumed by the corpus report and the
+        // output-leg composition
+        "q_pipeline_corpus", "q_pipeline_output",
         // fills the shared trained-merge memo (Pipeline5.learnedMerges)
         // consumed by both bpe_train and bpe_apply
         "q_text_bpe_train").foreach { k =>

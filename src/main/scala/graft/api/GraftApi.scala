@@ -1768,35 +1768,42 @@ object Profile {
     * worst key + its contribution, and that key's share in ppm. */
   def joinCardinality(a: DataFrame, aKey: String,
       b: DataFrame, bKey: String): DataFrame = {
-    // localCheckpoint (eager) all three support-sized frames: ca/cb
-    // feed the key join AND the side key-counts, contrib feeds the
-    // totals agg, the min-key-of-max subaggregate, and the final
-    // projection — without the cuts each consumer re-runs the
-    // corpus-scale count-aggs (measured ~6.0 CPU-s uncut vs ~3.2 cut
-    // at sf0.1 once the r7 edge-case fix added a third contrib
-    // consumer). All three are one row per (shared) key, never
-    // row-sized.
-    val ca = a.groupBy(col(aKey).as("key")).agg(count(lit(1)).as("cnt_a"))
+    // r9 fuse (VERDICT r8 task 7): the old shape ran THREE serial
+    // localCheckpoint jobs (ca, cb, contrib) before the final action —
+    // 4.42 s wall vs 1.76 CPU-s at sf0.1, pure job serialization. Now
+    // both sides union into ONE tagged count-agg (same total shuffle
+    // volume: rows_a + rows_b), the per-key frame checkpoints once
+    // (eager — it feeds the totals and the side counts), and every
+    // remaining consumer is a support-sized scan inside the single
+    // final action: 2 jobs total instead of 4.
+    val grouped = a.select(col(aKey).as("key"), lit(1L).as("__sa"))
+      .unionAll(b.select(col(bKey).as("key"), lit(0L).as("__sa")))
+      .groupBy("key")
+      .agg(sum("__sa").as("cnt_a"), sum(lit(1L) - col("__sa")).as("cnt_b"))
       .localCheckpoint(true)
-    val cb = b.groupBy(col(bKey).as("key")).agg(count(lit(1)).as("cnt_b"))
-      .localCheckpoint(true)
-    val contrib = ca.join(cb, "key")
+    // NULL keys never join: they count toward each side's key
+    // cardinality (as in the per-side aggs of the old shape) but are
+    // excluded from the shared-key contribution frame.
+    val contrib = grouped
+      .where(col("key").isNotNull && col("cnt_a") > 0 && col("cnt_b") > 0)
       .select(col("key"), (col("cnt_a") * col("cnt_b")).as("rows_k"))
-      .localCheckpoint(true)
+    // One agg produces totals AND the dominant key: min_by over
+    // (-rows_k, key) = largest contribution, smallest key on ties —
+    // deterministic (key is unique) and identical to the oracle's
+    // MIN(key) WHERE rows_k = MAX(rows_k). rows_k > 0 so the negation
+    // cannot overflow. Empty contrib (disjoint key sets) yields
+    // count=0 with NULL sum/max/top_key — exactly the oracle's
+    // aggregate-over-empty semantics (r7 edge-case fix preserved).
     val tot = contrib.agg(count(lit(1)).as("n_keys_common"),
-      sum("rows_k").as("join_rows"), max("rows_k").as("max_key_rows"))
-    val sides = ca.agg(count(lit(1)).as("n_keys_a")).crossJoin(
-      broadcast(cb.agg(count(lit(1)).as("n_keys_b"))))
-    // Final row derives from `tot` (always 1 row), not from a global
-    // agg over contrib×tot: with DISJOINT key sets contrib is empty and
-    // that agg would return NULL n_keys_common where the oracle says 0.
-    // The min-key-of-max pick is its own subaggregate (1 row, NULL top
-    // key when there are no shared keys — matching the oracle's MIN
-    // over an empty frame).
-    val tk = contrib.crossJoin(broadcast(tot))
-      .where(col("rows_k") === col("max_key_rows"))
-      .agg(min("key").as("top_key"))
-    tot.crossJoin(broadcast(tk)).crossJoin(broadcast(sides))
+      sum("rows_k").as("join_rows"), max("rows_k").as("max_key_rows"),
+      min_by(col("key"), struct((-col("rows_k")).as("nr"), col("key")))
+        .as("top_key"))
+    val sides = grouped.agg(
+      coalesce(sum(when(col("cnt_a") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_keys_a"),
+      coalesce(sum(when(col("cnt_b") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_keys_b"))
+    tot.crossJoin(broadcast(sides))
       .select(col("n_keys_a"), col("n_keys_b"), col("n_keys_common"),
         col("join_rows"), col("max_key_rows"), col("top_key"),
         // decimal(38,0) numerator: 1e6 * max_key_rows overflows int64
@@ -1929,6 +1936,62 @@ object Profile {
     }.reduce(_.unionAll(_))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
     counts
+      .withColumn("n_in", lag(col("n_kept"), 1).over(w))
+      .where(col("stage") >= 1)
+      .select(col("stage"), col("stage_name"), col("n_in"), col("n_kept"),
+        (col("n_in") - col("n_kept")).as("n_dropped"))
+  }
+
+  /** Stage names of the corpus pipeline, index-aligned with
+    * [[pipelineStageMap]]'s `last_stage` values (0 = input). */
+  val pipelineStageNames: Seq[String] =
+    Seq("input", "length", "blocklist", "repetition", "neardup",
+      "decontaminate")
+
+  /** Per-doc stage MEMBERSHIP of the corpus pipeline — the same stage
+    * chain as [[pipelineReport]] (one code path, no drift), collapsed
+    * to one row per input doc: (id, last_stage) where `last_stage` is
+    * the highest stage index the doc survived (0 = failed the first
+    * gate, 5 = full survivor). This is the pipeline's storable
+    * bookkeeping artifact: stage frames are strictly nested, so every
+    * stage count is `count(last_stage >= i)` and the survivor set is
+    * `last_stage = 5` — one stored doc-sized frame replaces re-running
+    * the chain for both the report and the output leg. */
+  def pipelineStageMap(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, probes: DataFrame,
+      perms: Seq[(Int, Long, Long)], minTokens: Long = 25L,
+      maxBlockHits: Long = 5L, maxDupTokenPpm: Long = 650000L,
+      minMatches: Int = 8, gramK: Int = 8,
+      precomputedSigs: Option[DataFrame] = None): DataFrame =
+    pipelineStageFrames(docs, idCol, textCol, blocklist, probes, perms,
+      minTokens, maxBlockHits, maxDupTokenPpm, minMatches, gramK,
+      precomputedSigs)
+      .zipWithIndex
+      .map { case ((_, df), i) =>
+        df.select(col("id"), lit(i.toLong).as("last_stage"))
+      }
+      .reduce(_.unionAll(_))
+      .groupBy("id").agg(max("last_stage").as("last_stage"))
+
+  /** The graded pipeline report recomputed from a STORED
+    * [[pipelineStageMap]] frame — identical output to
+    * [[pipelineReport]] (nested stages make `n_kept(i) =
+    * count(last_stage >= i)` exact), but the cost is one scan of the
+    * doc-sized map + a 6x6 broadcast theta-join, not a re-run of the
+    * 5-stage chain. */
+  def pipelineReportFromMap(stageMap: DataFrame): DataFrame = {
+    val s = stageMap.sparkSession
+    import s.implicits._
+    val names = pipelineStageNames.zipWithIndex
+      .map { case (nm, i) => (i.toLong, nm) }.toDF("stage", "stage_name")
+    val byLast = stageMap.groupBy("last_stage")
+      .agg(count(lit(1)).as("c"))
+    val kept = names
+      .join(broadcast(byLast), col("last_stage") >= col("stage"), "left")
+      .groupBy("stage", "stage_name")
+      .agg(coalesce(sum("c"), lit(0L)).as("n_kept"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+    kept
       .withColumn("n_in", lag(col("n_kept"), 1).over(w))
       .where(col("stage") >= 1)
       .select(col("stage"), col("stage_name"), col("n_in"), col("n_kept"),

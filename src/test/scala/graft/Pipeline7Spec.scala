@@ -41,6 +41,44 @@ class Pipeline7Spec extends AnyFunSuite {
     assert(surv.head.getString(1).startsWith("the quick brown"))
   }
 
+  test("pipelineReportFromMap(stageMap) == pipelineReport (planted + sf0.001)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "one two three"),
+      (2L, "bad bad x1 x2 x3 x4 x5 x6"),
+      (3L, "rep rep rep rep rep rep rep rep"),
+      (4L, "the quick brown fox jumps over that lazy dog today"),
+      (5L, "the quick brown fox jumps over that lazy dog today"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (7L, "completely different content with no overlap at all here"))
+      .toDF("id", "body")
+    val probes = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta extra"))
+      .toDF("id", "body")
+    val block = Seq("bad").toDF("word")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("stage").collect().map(_.toString).toSeq
+    val direct = api.Profile.pipelineReport(docs, "id", "body", block,
+      probes, operators.TextOps.permTable, minTokens = 5L,
+      maxBlockHits = 2L, maxDupTokenPpm = 500000L)
+    val viaMap = api.Profile.pipelineReportFromMap(
+      api.Profile.pipelineStageMap(docs, "id", "body", block,
+        probes, operators.TextOps.permTable, minTokens = 5L,
+        maxBlockHits = 2L, maxDupTokenPpm = 500000L))
+    assert(canon(direct) == canon(viaMap))
+    // and the graded key (stored-map path) matches the chain-derived
+    // report on the real fixture corpus
+    val train = Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val prb = Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(7)) === 0)
+    val chain = api.Profile.pipelineReport(train, "doc_id", "text",
+      Seq("slow", "error").toDF("word"), prb, operators.TextOps.permTable)
+    assert(canon(SparkEntry.queries("q_pipeline_corpus")(spark, dir))
+      == canon(chain))
+  }
+
   test("q_pipeline_output: conservation across quota -> split -> shards on the fixture") {
     val sp = spark
     import sp.implicits._
