@@ -31,6 +31,7 @@ object SparkEntry {
     operators.Pipeline8,
     operators.Pipeline9,
     operators.Pipeline10,
+    operators.Pipeline11,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -1,0 +1,446 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.24 round-9 analytics wideners — the remaining weekly-report ops
+  * over the same fixed tables, every one with an exact DuckDB oracle:
+  * distribution ranks (cume_dist/percent_rank/ntile — the "where does
+  * this account sit" readout), a column-completeness profile, last-touch
+  * marketing attribution, Pearson correlation from exact integer moments
+  * (the bivariate sibling of q_ml_ab_ttest), corpus text normalization
+  * (the canonical-form step upstream of every dedup key), event-type
+  * Markov transitions, a Benford first-digit audit, and gap-filling
+  * linear interpolation over a sparse daily series (the value-aware
+  * complement of q_events_gapfill's zero-fill).
+  */
+object Pipeline11 extends graft.QueryModule {
+
+  /** DISTRIBUTION ranks per market segment: for every customer, its
+    * cumulative distribution, percent rank and decile by account
+    * balance within the segment — the "where does this account sit"
+    * readout. The window ORDER BY is (acctbal, custkey) so ties are
+    * broken deterministically and both engines agree cell-for-cell;
+    * cume_dist/percent_rank are then exact rank arithmetic
+    * (rank/n, (rank-1)/(n-1)) on identical IEEE doubles.
+    *
+    * 100 TB: one shuffle on the segment key + per-segment sort; no
+    * global sort, no second pass — all three ranks evaluate in the
+    * same window. A skewed segment sorts within AQE-split partitions
+    * only if the key is salted upstream; segments here are
+    * low-cardinality but balanced. */
+  def winDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("segment"),
+        col("c_custkey").as("custkey"),
+        round(cume_dist().over(w), 6).as("cd"),
+        round(percent_rank().over(w), 6).as("pr"),
+        ntile(10).over(w).cast("long").as("decile"))
+      .orderBy("segment", "custkey")
+  }
+
+  /** Column COMPLETENESS profile over documents (text, lang, source):
+    * row count, nulls, blank-after-trim values, distinct non-null
+    * values, and completeness ppm = non-null-non-blank / rows. One
+    * pruned single-column agg branch per column (the
+    * q_profile_columns no-Expand discipline), unioned — each branch's
+    * parquet scan reads exactly one column.
+    *
+    * 100 TB: k single-column hash aggs over pruned scans; distinct
+    * counts are exact (per-column shuffle on the value). For a
+    * width-bounded approximate profile use q_profile_columns'
+    * HLL twin instead. */
+  def profileCompleteness(s: SparkSession, dir: String): DataFrame = {
+    def branch(c: String): DataFrame =
+      Tables.documents(s, dir).select(col(c))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col(c).isNotNull && trim(col(c)) === "", 1L)
+            .otherwise(0L)).as("n_blank"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_blank"), col("n_distinct"))
+    Seq("text", "lang", "source").map(branch).reduce(_.unionAll(_))
+      .withColumn("complete_ppm",
+        expr("(n_rows - n_null - n_blank) * 1000000L div n_rows"))
+      .orderBy("column_name")
+  }
+
+  /** LAST-TOUCH attribution: every purchase is credited to the user's
+    * most recent click no older than 7 days; per user, purchases,
+    * attributed purchases and attributed revenue (exact cents). The
+    * last preceding click is a running MAX(CASE click THEN ts END)
+    * over the (ts, event_id)-ordered per-user window — O(1) state per
+    * row, so the whole attribution is ONE key shuffle + per-user sort,
+    * never a purchases x clicks join.
+    *
+    * 100 TB: the window is the same per-user shuffle every
+    * sessionize/funnel key pays; revenue stays integer cents end to
+    * end (the q_events_* money rule). */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = Tables.events(s, dir)
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("attr", col("last_click_ts").isNotNull &&
+        expr("unix_micros(ts) - unix_micros(last_click_ts)")
+          <= lit(7L * 86400L * 1000000L))
+    attributed.groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attr"), 1L).otherwise(0L)).as("n_attributed"),
+        sum(when(col("attr"),
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L))
+          .as("attr_cents"))
+      .orderBy("user_id")
+  }
+
+  /** PEARSON correlation basket size vs basket value per order status
+    * — "do bigger baskets cost more", computed ENTIRELY from exact
+    * integer moments (n, Σx, Σy, Σxy, Σx², Σy² — x = line count per
+    * order, y = order cents) so neither engine's covariance kernel is
+    * trusted: the bivariate sibling of q_ml_ab_ttest. (Line-LEVEL
+    * pairs like quantity vs price are independent by fixture
+    * construction — corr ≈ 0 — so the graded stat correlates the
+    * ORDER-level roll-up, where the sum-of-items structure guarantees
+    * signal.) Second-moment sums and the n·Σ − Σ·Σ numerators form in
+    * decimal(38,0) (Spark) / HUGEINT (DuckDB): at ~1e12 orders of
+    * 1e8-cent baskets n·Σy² ≈ 1e40 exceeds int64 at sf0.1 already;
+    * decimal 38 is the documented headroom edge. corr =
+    * num / (√vx · √vy) as one fixed dag of IEEE-exact double ops,
+    * rounded 6 dp.
+    *
+    * 100 TB: one per-order hash agg (map-side partial), a co-keyed
+    * join to orders for the status dimension, then a second agg whose
+    * shuffle carries 6 numbers per group. */
+  def aggCorr(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("x"),
+        sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("y"))
+    val m = perOrder
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("cast(x as decimal(19,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(19,0)) * y")).as("syy"),
+        sum(expr("cast(x as decimal(19,0)) * y")).as("sxy"))
+    def ctr(prod: String, a: String, b: String): String =
+      s"cast(cast(n as decimal(38,0)) * $prod" +
+        s" - cast($a as decimal(38,0)) * $b as double)"
+    m.select(col("o_orderstatus"), col("n"),
+      expr(s"round(${ctr("sxy", "sx", "sy")}" +
+        s" / (sqrt(${ctr("sxx", "sx", "sx")})" +
+        s" * sqrt(${ctr("syy", "sy", "sy")})), 6)").as("corr"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Corpus text NORMALIZATION — the canonical-form step every exact
+    * dedup key implicitly depends on: lowercase, strip every
+    * non-[a-z0-9 ] codepoint to space, collapse runs, trim; emit the
+    * md5 of the canonical form (the dedup key a normalized
+    * q_dedup_exact would group on), its char length and token count.
+    * Pure codegen'd projection — two regex passes + md5 per row, no
+    * shuffle at all (the ORDER BY is presentation only).
+    *
+    * 100 TB: embarrassingly parallel scan→project→write; the md5
+    * output column is the fixed-32-byte join/dedup key downstream
+    * stages shuffle instead of the text (the q_dedup_content_md5
+    * rule). */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("norm", expr(
+        "trim(regexp_replace(regexp_replace(lower(text)," +
+          " '[^a-z0-9 ]', ' '), ' +', ' '))"))
+      .select(col("doc_id"), md5(col("norm")).as("fp_md5"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        when(col("norm") === "", 0L)
+          .otherwise(size(split(col("norm"), " ")).cast("long"))
+          .as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** MARKOV transition matrix over per-user event sequences: for each
+    * (src → dst) consecutive pair in (ts, event_id) order, the count
+    * and the ppm share of src's outgoing transitions — the behavioral
+    * model behind funnel/retention dashboards. One lead() window pass
+    * builds pairs, one hash agg counts them; row totals join back by
+    * BROADCAST (the matrix is event-type² rows, tiny at any scale).
+    *
+    * 100 TB: the per-user window shuffle is the only full-data
+    * exchange; the transition matrix itself is support-sized. */
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val tr = Tables.events(s, dir)
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("src").agg(sum("n").as("n_src"))
+    tr.join(broadcast(tot), "src")
+      .select(col("src"), col("dst"), col("n"),
+        expr("n * 1000000L div n_src").as("ppm"))
+      .orderBy("src", "dst")
+  }
+
+  /** BENFORD first-digit audit of order totals — the classic
+    * fabricated-data screen: observed count and ppm share per leading
+    * digit of the exact cent value, next to the Benford-law expectation
+    * (round(log10(1+1/d)·1e6) — emitted as INTEGER LITERALS in both
+    * engines, because log10 is not required to be correctly rounded by
+    * IEEE 754 and a libm ulp must not decide a graded cell). The digit
+    * comes from the integer cents rendered as a string — integer
+    * formatting is deterministic everywhere, double formatting is not.
+    *
+    * 100 TB: one map-side-partial agg to 9 rows + a 1-row broadcast
+    * total. */
+  def profileBenford(s: SparkSession, dir: String): DataFrame = {
+    val expected = "case digit " +
+      "when 1 then 301030L when 2 then 176091L when 3 then 124939L " +
+      "when 4 then 96910L when 5 then 79181L when 6 then 66947L " +
+      "when 7 then 57992L when 8 then 51153L else 45757L end"
+    val d = Tables.orders(s, dir)
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("c"))
+      .where(col("c") > 0)
+      .select(expr("cast(substring(cast(c as string), 1, 1) as bigint)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum("n").as("total"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L div total").as("obs_ppm"),
+        expr(expected).as("benford_ppm"))
+      .orderBy("digit")
+  }
+
+  /** LINEAR INTERPOLATION over a sparse daily series — the value-aware
+    * complement of q_events_gapfill's zero-fill: per event type, the
+    * daily mean of high-value events (cents-exact mean, value ≥ 200
+    * keeps the series genuinely sparse at small SF), re-gridded onto
+    * the full min..max calendar; missing days fill linearly between
+    * the bracketing observations, run-in/run-out days clamp to the
+    * nearest one, and each cell is tagged obs/interp/clamp. The
+    * neighbor scan is two IGNORE-NULLS window passes (running last /
+    * first) — O(1) state per row, no self-join against the observed
+    * frame.
+    *
+    * 100 TB: the observed series is support-sized (types × days) long
+    * before the window runs; the only full-data pass is the daily
+    * cents agg. The interpolation arithmetic is one fixed dag of
+    * integer day-distances and IEEE doubles, identical in both
+    * engines. */
+  def timeInterp(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir).where(col("value") >= 200)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .select(col("event_type"), col("d"),
+        round(expr("cast(cents as double) / 100 / n"), 6).as("v"))
+    val cal = daily.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val grid = daily.select("event_type").distinct().crossJoin(cal)
+    val wb = Window.partitionBy("event_type").orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wf = Window.partitionBy("event_type").orderBy(col("d").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    grid.join(daily, Seq("event_type", "d"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+      .withColumn("pd",
+        last(when(col("v").isNotNull, col("d")), true).over(wb))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("nd",
+        first(when(col("v").isNotNull, col("d")), true).over(wf))
+      .select(col("event_type"), col("d"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            round(col("pv") + (col("nv") - col("pv")) *
+              expr("cast(datediff(d, pd) as double)") /
+              expr("cast(datediff(nd, pd) as double)"), 6))
+          .otherwise(coalesce(col("pv"), col("nv"))).as("v"),
+        when(col("v").isNotNull, lit("obs"))
+          .when(col("pv").isNotNull && col("nv").isNotNull, lit("interp"))
+          .otherwise(lit("clamp")).as("src"))
+      .orderBy("event_type", "d")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_distribution" -> winDistribution,
+    "q_profile_completeness" -> profileCompleteness,
+    "q_events_attribution" -> eventsAttribution,
+    "q_agg_corr" -> aggCorr,
+    "q_text_normalize" -> textNormalize,
+    "q_events_markov" -> eventsMarkov,
+    "q_profile_benford" -> profileBenford,
+    "q_time_interp" -> timeInterp)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_win_distribution" ->
+      """SELECT c_mktsegment AS segment, c_custkey AS custkey,
+        |  ROUND(cume_dist() OVER w, 6) AS cd,
+        |  ROUND(percent_rank() OVER w, 6) AS pr,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY segment, custkey""".stripMargin,
+    "q_profile_completeness" ->
+      """WITH per AS (
+        |  SELECT 'text' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null,
+        |    CAST(SUM(CASE WHEN text IS NOT NULL AND TRIM(text) = ''
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+        |    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN lang IS NOT NULL AND TRIM(lang) = ''
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN source IS NOT NULL AND TRIM(source) = ''
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT source) AS BIGINT)
+        |  FROM documents)
+        |SELECT column_name, n_rows, n_null, n_blank, n_distinct,
+        |  (n_rows - n_null - n_blank) * 1000000 // n_rows AS complete_ppm
+        |FROM per ORDER BY column_name""".stripMargin,
+    "q_events_attribution" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    MAX(CASE WHEN event_type = 'click' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click_ts
+        |  FROM events),
+        |pur AS (
+        |  SELECT user_id, value,
+        |    (last_click_ts IS NOT NULL AND
+        |     epoch_us(ts) - epoch_us(last_click_ts) <= 604800000000)
+        |      AS attr
+        |  FROM marked WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_attributed,
+        |  CAST(SUM(CASE WHEN attr
+        |    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS attr_cents
+        |FROM pur GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_agg_corr" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY l_orderkey),
+        |m AS (
+        |  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM per_order JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n,
+        |  ROUND(CAST(CAST(n AS HUGEINT) * sxy
+        |             - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+        |                 - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |     * sqrt(CAST(CAST(n AS HUGEINT) * syy
+        |                 - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+        |    AS corr
+        |FROM m ORDER BY o_orderstatus""".stripMargin,
+    "q_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    TRIM(regexp_replace(regexp_replace(LOWER(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp_md5,
+        |  CAST(LENGTH(norm) AS BIGINT) AS n_chars_norm,
+        |  CAST(CASE WHEN norm = '' THEN 0
+        |    ELSE LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1 END
+        |    AS BIGINT) AS n_tokens
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q_events_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS src,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |tr AS (
+        |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+        |tot AS (SELECT src, SUM(n) AS n_src FROM tr GROUP BY src)
+        |SELECT tr.src, tr.dst, tr.n,
+        |  CAST(tr.n * 1000000 // tot.n_src AS BIGINT) AS ppm
+        |FROM tr JOIN tot ON tr.src = tot.src
+        |ORDER BY tr.src, tr.dst""".stripMargin,
+    "q_profile_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit
+        |  FROM (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        |        FROM orders) WHERE c > 0),
+        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM d GROUP BY digit),
+        |tot AS (SELECT SUM(n) AS total FROM g)
+        |SELECT digit, n,
+        |  CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+        |  CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |    WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |    WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |    ELSE 45757 END AS BIGINT) AS benford_ppm
+        |FROM g CROSS JOIN tot ORDER BY digit""".stripMargin,
+    "q_time_interp" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+        |      / 100 / COUNT(*), 6) AS v
+        |  FROM events WHERE value >= 200 GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS d
+        |  FROM (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily)),
+        |grid AS (
+        |  SELECT t.event_type, c.d
+        |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN cal c),
+        |j AS (
+        |  SELECT g.event_type, g.d, daily.v
+        |  FROM grid g LEFT JOIN daily
+        |    ON g.event_type = daily.event_type AND g.d = daily.d),
+        |f AS (
+        |  SELECT event_type, d, v,
+        |    LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER wb AS pd,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER wf AS nd
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wf AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, d,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |      THEN ROUND(pv + (nv - pv) * CAST(d - pd AS DOUBLE)
+        |        / CAST(nd - pd AS DOUBLE), 6)
+        |    ELSE COALESCE(pv, nv) END AS v,
+        |  CASE WHEN v IS NOT NULL THEN 'obs'
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+        |    ELSE 'clamp' END AS src
+        |FROM f ORDER BY event_type, d""".stripMargin)
+}
