@@ -271,6 +271,105 @@ object Pipeline11 extends graft.QueryModule {
       .orderBy("event_type", "d")
   }
 
+  /** OLS TREND line per event series — daily revenue cents regressed
+    * on the epoch-day index, slope (cents/day) and intercept from the
+    * SAME exact-integer-moment discipline as q_agg_corr: the daily
+    * roll-up is support-sized (types × days), so the moment agg runs
+    * over thousands of rows regardless of corpus size; x = epoch days
+    * (≤ ~2e4) keeps Σx² in int64 at any horizon while the y-side
+    * products form in decimal(38,0)/HUGEINT (daily cents reach ~1e15
+    * at 100 TB, Σxy ~ 1e22). slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    * intercept = (Σy − slope·Σx)/n, one fixed IEEE dag, rounded 6 dp.
+    *
+    * 100 TB: the only full-data pass is the daily cents agg
+    * (map-side partial); the regression itself is arithmetic over a
+    * support frame. */
+  def mlLinfit(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+      .select(col("event_type"),
+        expr("cast(datediff(d, date '1970-01-01') as bigint)").as("x"),
+        col("y"))
+    val m = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"),
+        sum(expr("cast(x as decimal(19,0)) * y")).as("sxy"))
+    m.select(col("event_type"), col("n"),
+      expr("round(cast(cast(n as decimal(38,0)) * sxy" +
+        " - cast(sx as decimal(38,0)) * sy as double)" +
+        " / cast(n * sxx - sx * sx as double), 6)").as("slope"),
+      expr("round((cast(sy as double)" +
+        " - (cast(cast(n as decimal(38,0)) * sxy" +
+        "    - cast(sx as decimal(38,0)) * sy as double)" +
+        "    / cast(n * sxx - sx * sx as double)) * sx) / n, 6)")
+        .as("intercept"))
+      .orderBy("event_type")
+  }
+
+  /** Corpus DUPLICATION-RATE dashboard — the one-row summary every
+    * dedup pipeline reports before and after: docs, unique texts (by
+    * md5), docs inside clone groups, clone-group count, largest clone
+    * family, and the dup ppm a full exact dedup would remove. One
+    * md5-keyed hash agg (fixed-32-byte shuffle key, the
+    * q_dedup_content_md5 rule) + a second agg over the group-size
+    * frame.
+    *
+    * 100 TB: the md5 group frame is corpus-sized but its second agg
+    * is map-side partial to one row; nothing wider than 32 bytes + a
+    * count crosses either shuffle. */
+  def profileDupRate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(md5(col("text")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_docs"), count(lit(1)).as("n_unique"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("clone_docs"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("clone_groups"),
+        max("c").as("max_clone"))
+      .select(col("n_docs"), col("n_unique"), col("clone_docs"),
+        col("clone_groups"), col("max_clone"),
+        expr("(n_docs - n_unique) * 1000000L div n_docs").as("dup_ppm"))
+
+  /** NEAREST-tolerance as-of join (pandas merge_asof
+    * direction='nearest'): each error event pairs with the same
+    * user's temporally CLOSEST purchase within ±6 h — ties break to
+    * the earlier purchase — the bidirectional complement of
+    * q_join_asof's backward-only rule. Never a per-user cross join:
+    * both sides key on 6-h time buckets (errors land in one, each
+    * purchase explodes to its bucket ±1 — any within-tolerance pair
+    * differs by ≤ 1 bucket), so it runs as one shuffle EQUI-join on
+    * (user, bucket) + residual |Δt| filter + per-error top-1 window —
+    * the q_join_range_bucketed scale pattern with a nearest-rank
+    * head.
+    *
+    * 100 TB: pair space scales with events per (user, 6-h bucket),
+    * not per user; the window's per-error state is the candidate list
+    * already cut by the tolerance. */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 6L * 3600L * 1000000L
+    val err = Tables.events(s, dir).where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("ets"),
+        expr(s"unix_micros(ts) div ${tolUs}L").as("b"))
+    val pur = Tables.events(s, dir).where(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), col("user_id"),
+        col("ts").as("pts"))
+      .withColumn("b", explode(expr(
+        s"array(unix_micros(pts) div ${tolUs}L - 1," +
+          s" unix_micros(pts) div ${tolUs}L," +
+          s" unix_micros(pts) div ${tolUs}L + 1)")))
+    val w = Window.partitionBy(col("err_id"))
+      .orderBy(abs(col("diff_us")).asc, col("pts").asc, col("pur_id").asc)
+    err.join(pur, Seq("user_id", "b"))
+      .withColumn("diff_us",
+        expr("unix_micros(pts) - unix_micros(ets)"))
+      .where(abs(col("diff_us")) <= tolUs)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("err_id"), col("pur_id"), col("diff_us"))
+      .orderBy("err_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_distribution" -> winDistribution,
     "q_profile_completeness" -> profileCompleteness,
@@ -279,9 +378,67 @@ object Pipeline11 extends graft.QueryModule {
     "q_text_normalize" -> textNormalize,
     "q_events_markov" -> eventsMarkov,
     "q_profile_benford" -> profileBenford,
-    "q_time_interp" -> timeInterp)
+    "q_time_interp" -> timeInterp,
+    "q_ml_linfit" -> mlLinfit,
+    "q_profile_dup_rate" -> profileDupRate,
+    "q_join_asof_nearest" -> joinAsofNearest)
 
   def oracleSql: Map[String, String] = Map(
+    "q_ml_linfit" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') AS x,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, n,
+        |  ROUND(CAST(CAST(n AS HUGEINT) * sxy
+        |             - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE)
+        |    - (CAST(CAST(n AS HUGEINT) * sxy
+        |        - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6)
+        |    AS intercept
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_profile_dup_rate" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY md5(text))
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |    AS clone_docs,
+        |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clone_groups,
+        |  CAST(MAX(c) AS BIGINT) AS max_clone,
+        |  CAST((SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS BIGINT)
+        |    AS dup_ppm
+        |FROM g""".stripMargin,
+    "q_join_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id AS err_id, user_id, ts AS ets
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id AS pur_id, user_id, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT err_id, pur_id, pts,
+        |    CAST(epoch_us(pts) - epoch_us(ets) AS BIGINT) AS diff_us
+        |  FROM e JOIN p USING (user_id)
+        |  WHERE abs(epoch_us(pts) - epoch_us(ets)) <= 21600000000),
+        |r AS (
+        |  SELECT err_id, pur_id, diff_us,
+        |    ROW_NUMBER() OVER (PARTITION BY err_id
+        |      ORDER BY abs(diff_us), pts, pur_id) AS rk
+        |  FROM c)
+        |SELECT err_id, pur_id, diff_us FROM r WHERE rk = 1
+        |ORDER BY err_id""".stripMargin,
     "q_win_distribution" ->
       """SELECT c_mktsegment AS segment, c_custkey AS custkey,
         |  ROUND(cume_dist() OVER w, 6) AS cd,

@@ -114,6 +114,63 @@ class Pipeline11Spec extends AnyFunSuite {
     assert(exp.get(1L).forall(_ == 301030L) && exp.get(9L).forall(_ == 45757L))
   }
 
+  test("linfit: moment-exact OLS agrees with the double covariance form") {
+    val rs = run("q_ml_linfit").collect()
+    assert(rs.nonEmpty)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+      .select(col("event_type"),
+        expr("cast(datediff(d, date '1970-01-01') as double)").as("x"),
+        col("y").cast("double"))
+    val ref = daily.groupBy("event_type")
+      .agg((covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("slope"),
+        avg("y").as("my"), avg("x").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2) - r.getDouble(1) * r.getDouble(3)))
+      .toMap
+    rs.foreach { r =>
+      val (slope, icept) = ref(r.getString(0))
+      assert(math.abs(r.getDouble(2) - slope) < 1e-3, s"slope ${r}")
+      assert(math.abs(r.getDouble(3) - icept) < 1e-1, s"intercept ${r}")
+    }
+  }
+
+  test("dup rate: clone arithmetic consistent with the corpus") {
+    val r = run("q_profile_dup_rate").head()
+    val (nDocs, nUnique, cloneDocs, cloneGroups, maxClone, ppm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    assert(nDocs == Tables.documents(spark, dir).count())
+    assert(nUnique ==
+      Tables.documents(spark, dir).select("text").distinct().count())
+    assert(cloneDocs >= 2 * cloneGroups)
+    assert(cloneDocs - cloneGroups == nDocs - nUnique)
+    assert((cloneGroups > 0) == (maxClone >= 2))
+    assert(ppm == (nDocs - nUnique) * 1000000L / nDocs)
+  }
+
+  test("asof nearest: bucketed plan equals the naive tolerance join") {
+    val tolUs = 6L * 3600L * 1000000L
+    val e = Tables.events(spark, dir).where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("ets"))
+    val p = Tables.events(spark, dir).where(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), col("user_id"),
+        col("ts").as("pts"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("err_id"))
+      .orderBy(abs(col("diff_us")).asc, col("pts").asc, col("pur_id").asc)
+    val naive = e.join(p, "user_id")
+      .withColumn("diff_us", expr("unix_micros(pts) - unix_micros(ets)"))
+      .where(abs(col("diff_us")) <= tolUs)
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select("err_id", "pur_id", "diff_us")
+      .collect().map(_.toString).toSet
+    val got = run("q_join_asof_nearest").collect().map(_.toString).toSet
+    assert(got.nonEmpty, "fixture must produce nearest matches")
+    assert(got == naive)
+  }
+
   test("interp: observed cells pass through; interp brackets neighbors") {
     val df = run("q_time_interp").cache()
     try {
