@@ -179,11 +179,15 @@ object Pipeline11 extends graft.QueryModule {
   def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
+    // localCheckpoint: the matrix is |types|² rows; without it both
+    // sides of the totals join replay the full-data window pass
+    // (verified: the built plan carries two Window+scan subtrees)
     val tr = Tables.events(s, dir)
       .withColumn("dst", lead(col("event_type"), 1).over(w))
       .where(col("dst").isNotNull)
       .groupBy(col("event_type").as("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val tot = tr.groupBy("src").agg(sum("n").as("n_src"))
     tr.join(broadcast(tot), "src")
       .select(col("src"), col("dst"), col("n"),
@@ -207,12 +211,15 @@ object Pipeline11 extends graft.QueryModule {
       "when 1 then 301030L when 2 then 176091L when 3 then 124939L " +
       "when 4 then 96910L when 5 then 79181L when 6 then 66947L " +
       "when 7 then 57992L when 8 then 51153L else 45757L end"
+    // localCheckpoint: 9 rows; otherwise the totals branch rescans the
+    // fact column a second time
     val d = Tables.orders(s, dir)
       .select(expr("cast(round(o_totalprice * 100) as bigint)").as("c"))
       .where(col("c") > 0)
       .select(expr("cast(substring(cast(c as string), 1, 1) as bigint)")
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val tot = d.agg(sum("n").as("total"))
     d.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
@@ -238,15 +245,21 @@ object Pipeline11 extends graft.QueryModule {
     * integer day-distances and IEEE doubles, identical in both
     * engines. */
   def timeInterp(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the observed series (types × days) feeds THREE
+    // consumers (calendar span, type list, the grid join) — without it
+    // each one replays the full-data agg (verified: 6 scans in the
+    // built plan; 1 after)
     val daily = Tables.events(s, dir).where(col("value") >= 200)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n"),
         sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
       .select(col("event_type"), col("d"),
         round(expr("cast(cents as double) / 100 / n"), 6).as("v"))
+      .localCheckpoint()
     val cal = daily.agg(min("d").as("d0"), max("d").as("d1"))
       .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
-    val grid = daily.select("event_type").distinct().crossJoin(cal)
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(cal))
     val wb = Window.partitionBy("event_type").orderBy(col("d").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wf = Window.partitionBy("event_type").orderBy(col("d").asc)
