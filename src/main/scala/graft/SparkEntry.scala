@@ -32,6 +32,7 @@ object SparkEntry {
     operators.Pipeline9,
     operators.Pipeline10,
     operators.Pipeline11,
+    operators.Pipeline12,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
