@@ -33,6 +33,7 @@ object SparkEntry {
     operators.Pipeline10,
     operators.Pipeline11,
     operators.Pipeline12,
+    operators.Pipeline13,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
