@@ -34,6 +34,7 @@ object SparkEntry {
     operators.Pipeline11,
     operators.Pipeline12,
     operators.Pipeline13,
+    operators.Pipeline14,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -112,7 +112,7 @@ object Pipeline12 extends graft.QueryModule {
     * half-way tie, so the int is engine-exact on identical doubles);
     * label_bin = (label ≥ 5). Score domain is [−8128, 8128] by the
     * ±0.5 fixture range × 64 dims. */
-  private def scored(s: SparkSession, dir: String): DataFrame =
+  private[graft] def scored(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), (col("label") >= 5).as("pos"),
         expr("aggregate(transform(cast(embedding as array<double>)," +
