@@ -132,4 +132,77 @@ object PropertySpec extends Properties("graft.arithmetic") {
       val yBack = (0 until 16).map(i => ((z / (1L << (2 * i + 1))) % 2) << i).sum
       z >= 0 && z < (1L << 32) && xBack == x && yBack == y
     }
+
+  // Banded prefix sum (Pipeline12 gini/auc, Pipeline13 ks/balanced,
+  // api.Sample.ppsSystematic): for ANY monotone band function,
+  // band-offset + within-band local cumsum == the global cumsum.
+  private val wList: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 10000L),
+      Gen.chooseNum(1L, 100L)))
+  property("banded prefix sum equals global cumsum for monotone bands") =
+    forAll(wList, Gen.chooseNum(1L, 512L)) { (kw0, width) =>
+      val kw = kw0.distinctBy(_._1).sortBy(_._1)
+      val globalCum = kw.scanLeft(0L)(_ + _._2).tail
+      val byBand = kw.groupBy { case (k, _) => k / width }
+      val offsets = byBand.map { case (b, _) =>
+        b -> byBand.filter(_._1 < b).values.flatten.map(_._2).sum
+      }
+      val banded = kw.map { case (k, w) =>
+        val b = k / width
+        offsets(b) + byBand(b).takeWhile(_._1 <= k).map(_._2).sum
+      }
+      banded == globalCum
+    }
+
+  // Lower weighted median (Pipeline12.aggWeightedMedian): the defining
+  // mass property — strictly-below mass < half, up-to mass >= half —
+  // plus quartile ordering, on any positive-weight multiset.
+  property("weighted median mass property and quartile order") =
+    forAll(wList) { kw0 =>
+      val kw = kw0.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toList.sortBy(_._1)
+      val tot = kw.map(_._2).sum
+      val cum = kw.scanLeft(0L)(_ + _._2).tail
+      def pick(mult: Long, of: Long): Long =
+        kw.zip(cum).collectFirst {
+          case ((v, _), c) if c * mult >= of => v }.get
+      val (q1, med, q3) = (pick(4, tot), pick(2, tot), pick(4, 3 * tot))
+      val below = kw.takeWhile(_._1 < med).map(_._2).sum
+      val upto = kw.takeWhile(_._1 <= med).map(_._2).sum
+      q1 <= med && med <= q3 && below * 2 < tot && upto * 2 >= tot
+    }
+
+  // Rank-sum AUC (Pipeline12.mlAuc): the grouped-score identity
+  // Σ np_s(2·cum_nn + nn_s) equals 2·concordant + ties counted over
+  // raw pairs — the Mann-Whitney U with exact tie handling.
+  private val scoreList: Gen[List[(Long, Boolean)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-50L, 50L), Gen.oneOf(true, false)))
+  property("grouped rank-sum U2 equals pairwise 2*concordant + ties") =
+    forAll(scoreList) { xs =>
+      val pos = xs.filter(_._2).map(_._1)
+      val neg = xs.filterNot(_._2).map(_._1)
+      val direct = (for (p <- pos; n <- neg) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val grouped = xs.groupBy(_._1).toList.sortBy(_._1)
+      val nn = grouped.map { case (_, g) => g.count(!_._2).toLong }
+      val cumPrev = nn.scanLeft(0L)(_ + _).init
+      val u2 = grouped.zip(cumPrev).map { case (((_, g)), c) =>
+        val np = g.count(_._2).toLong
+        val nns = g.count(!_._2).toLong
+        np * (2 * c + nns)
+      }.sum
+      u2 == direct
+    }
+
+  // Gini numerator bounds (Pipeline12.aggGini): for ascending positive
+  // x with rank i, 0 <= 2Σi·x − (n+1)Σx < n·Σx  ⇒  gini_ppm ∈ [0, 1e6).
+  property("gini numerator within [0, n*sum)") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1L, 100000L))) { xs0 =>
+      val xs = xs0.sorted
+      val n = xs.size.toLong
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val num = 2 * six - (n + 1) * sx
+      num >= 0 && num < n * sx
+    }
 }
