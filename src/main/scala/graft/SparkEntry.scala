@@ -35,6 +35,7 @@ object SparkEntry {
     operators.Pipeline12,
     operators.Pipeline13,
     operators.Pipeline14,
+    operators.Pipeline15,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
