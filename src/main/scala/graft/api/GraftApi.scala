@@ -2165,3 +2165,95 @@ object Profile {
         col("lo"), col("hi"))
   }
 }
+
+/** Distributed ordered statistics over banded partitions — the shared
+  * machinery behind every "global cumulative / global rank without a
+  * global sort" operator (Gini ranks, ROC-AUC and KS CDF scans,
+  * hash-rank balanced sampling, PPS prefix sums): rows bucket by
+  * `orderCol div bandWidth` (monotone in the order key, so
+  * within-band local work + cross-band offsets compose to the exact
+  * global answer — PropertySpec pins the algebra), local window per
+  * (partition, band), and band offsets ride a broadcast theta
+  * self-join over the support-sized band-totals frame.
+  *
+  * REQUIREMENTS: `orderCol` must be a non-negative integral column
+  * (shift first — integer `div` is not monotone across negatives),
+  * and for [[bandedCumSum]] the (partCols, orderCol) rows should be
+  * unique (pre-group) so "cumulative at a key" is well-defined.
+  *
+  * 100 TB: the only row-scale work is one window whose partitions are
+  * (partition, band) — balanced by construction for a uniform order
+  * key and AQE-splittable otherwise; the offsets frame is
+  * |partitions|·|bands| rows, broadcast.
+  */
+object Dist {
+
+  /** Adds `cum_<c>` for each sum column: the exact cumulative sum of
+    * `c` over ascending `orderCol` within `partCols` — inclusive of
+    * the current row when `inclusive`, else strictly-preceding (the
+    * Mann-Whitney "mass below" form). */
+  def bandedCumSum(df: DataFrame, partCols: Seq[String], orderCol: String,
+      bandWidth: Long, sumCols: Seq[String],
+      inclusive: Boolean = true): DataFrame = {
+    val d = df.withColumn("__band", expr(s"$orderCol div ${bandWidth}L"))
+    val pb = partCols :+ "__band"
+    val bt = d.groupBy(pb.map(col): _*)
+      .agg(sum(sumCols.head).as(s"__bt_${sumCols.head}"),
+        sumCols.tail.map(c => sum(c).as(s"__bt_$c")): _*)
+    val btR = bt.select(
+      (partCols.map(c => col(c).as(s"__r_$c")) :+
+        col("__band").as("__band2")) ++
+        sumCols.map(c => col(s"__bt_$c").as(s"__r_$c-sum")): _*)
+    val cond = partCols.map(c => col(s"__r_$c") === col(c))
+      .foldLeft(col("__band2") < col("__band"))(_ && _)
+    val off = bt.join(broadcast(btR), cond, "left")
+      .groupBy(pb.map(col): _*)
+      .agg(coalesce(sum(s"__r_${sumCols.head}-sum"), lit(0L))
+          .as(s"__off_${sumCols.head}"),
+        sumCols.tail.map(c =>
+          coalesce(sum(s"__r_$c-sum"), lit(0L)).as(s"__off_$c")): _*)
+      .select(pb.map(col) ++ sumCols.map(c => col(s"__off_$c")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pb.map(col): _*).orderBy(col(orderCol).asc)
+      .rowsBetween(Long.MinValue, if (inclusive) 0 else -1)
+    val local = sumCols.foldLeft(d) { (acc, c) =>
+      acc.withColumn(s"__loc_$c",
+        coalesce(sum(c).over(w), lit(0L)))
+    }
+    val joined = local.join(broadcast(off), pb)
+    sumCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(s"cum_$c", col(s"__off_$c") + col(s"__loc_$c"))
+    }.drop(("__band" +: sumCols.flatMap(c =>
+      Seq(s"__off_$c", s"__loc_$c"))): _*)
+  }
+
+  /** Adds `rank`: the 1-based global row_number over
+    * (orderCol asc, tieCol asc) within `partCols`, banded — identical
+    * to the naive per-partition window rank (module specs pin the
+    * equality) with no per-partition global sort: local row_number per
+    * (partition, band) + the broadcast count of rows in preceding
+    * bands (band-level offsets, so order-key ties never straddle an
+    * offset boundary). */
+  def bandedRank(df: DataFrame, partCols: Seq[String], orderCol: String,
+      tieCol: String, bandWidth: Long): DataFrame = {
+    val d = df.withColumn("__band", expr(s"$orderCol div ${bandWidth}L"))
+    val pb = partCols :+ "__band"
+    val bcnt = d.groupBy(pb.map(col): _*).agg(count(lit(1)).as("__bn"))
+    val bcntR = bcnt.select(
+      (partCols.map(c => col(c).as(s"__r_$c")) :+
+        col("__band").as("__band2")) :+ col("__bn").as("__bn2"): _*)
+    val cond = partCols.map(c => col(s"__r_$c") === col(c))
+      .foldLeft(col("__band2") < col("__band"))(_ && _)
+    val off = bcnt.join(broadcast(bcntR), cond, "left")
+      .groupBy(pb.map(col): _*)
+      .agg(coalesce(sum("__bn2"), lit(0L)).as("__boff"))
+      .select((pb :+ "__boff").map(col): _*)
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(pb.map(col): _*)
+      .orderBy(col(orderCol).asc, col(tieCol).asc)
+    d.withColumn("__lr", row_number().over(wl).cast("long"))
+      .join(broadcast(off), pb)
+      .withColumn("rank", col("__boff") + col("__lr"))
+      .drop("__band", "__lr", "__boff")
+  }
+}

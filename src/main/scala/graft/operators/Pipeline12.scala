@@ -81,8 +81,9 @@ object Pipeline12 extends graft.QueryModule {
 
   /** Revenue-ranked active customers: (segment, custkey, x cents,
     * i = 1-based ascending rank of x within segment, ties by custkey)
-    * via banded two-phase ranking. Shared with the spec, which pins
-    * `i` equal to the naive per-segment ROW_NUMBER. */
+    * via api.Dist.bandedRank (100k-dollar revenue bands). Shared with
+    * the spec, which pins `i` equal to the naive per-segment
+    * ROW_NUMBER. */
   private[graft] def giniRanked(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(s, dir)
       .groupBy("o_custkey")
@@ -91,18 +92,9 @@ object Pipeline12 extends graft.QueryModule {
         .select(col("c_custkey"), col("c_mktsegment").as("segment")),
         col("o_custkey") === col("c_custkey"))
       .select(col("segment"), col("c_custkey").as("custkey"), col("x"))
-      .withColumn("band", expr("x div 10000000L")) // 100k-dollar bands
-    val bcnt = seg.groupBy("segment", "band").agg(count(lit(1)).as("bn"))
-    val off = bcnt.join(broadcast(bcnt.select(col("segment").as("s2"),
-        col("band").as("b2"), col("bn").as("n2"))),
-        col("s2") === col("segment") && col("b2") < col("band"), "left")
-      .groupBy("segment", "band")
-      .agg(coalesce(sum("n2"), lit(0L)).as("boff"))
-    val wl = Window.partitionBy("segment", "band")
-      .orderBy(col("x").asc, col("custkey").asc)
-    seg.withColumn("lr", row_number().over(wl).cast("long"))
-      .join(broadcast(off), Seq("segment", "band"))
-      .withColumn("i", col("boff") + col("lr"))
+    graft.api.Dist.bandedRank(seg, Seq("segment"), "x", "custkey",
+        bandWidth = 10000000L)
+      .withColumnRenamed("rank", "i")
       .select("segment", "custkey", "x", "i")
   }
 
@@ -135,17 +127,11 @@ object Pipeline12 extends graft.QueryModule {
     val g = scored(s, dir).groupBy("score")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
-      .withColumn("band", expr("(score + 8192L) div 128"))
-    val bnn = g.groupBy("band").agg(sum("nn").as("bn"))
-    val off = bnn.join(broadcast(bnn.select(col("band").as("b2"),
-        col("bn").as("n2"))), col("b2") < col("band"), "left")
-      .groupBy("band").agg(coalesce(sum("n2"), lit(0L)).as("boff"))
-    val wl = Window.partitionBy("band").orderBy(col("score").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .withColumn("sh", expr("score + 8192L")) // div needs non-negatives
     val tot = g.agg(sum("np").as("n_pos"), sum("nn").as("n_neg"))
-    g.withColumn("lnn", coalesce(sum("nn").over(wl), lit(0L)))
-      .join(broadcast(off), "band")
-      .withColumn("cumnn", col("boff") + col("lnn"))
+    graft.api.Dist.bandedCumSum(g, Seq(), "sh", bandWidth = 128L,
+        sumCols = Seq("nn"), inclusive = false)
+      .withColumn("cumnn", col("cum_nn"))
       .agg(sum(expr("cast(np as decimal(19,0)) * (2 * cumnn + nn)"))
         .as("u2"))
       .crossJoin(broadcast(tot))

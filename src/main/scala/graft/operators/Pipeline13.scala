@@ -36,26 +36,13 @@ object Pipeline13 extends graft.QueryModule {
       .groupBy("c")
       .agg(sum(when(col("isP"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("isP"), 0L).otherwise(1L)).as("n2"))
-      .withColumn("band", expr("c div 1024"))
-    val bt = g.groupBy("band")
-      .agg(sum("n1").as("b1"), sum("n2").as("b2"))
-    val off = bt.join(broadcast(bt.select(col("band").as("bb"),
-        col("b1").as("o1"), col("b2").as("o2"))),
-        col("bb") < col("band"), "left")
-      .groupBy("band")
-      .agg(coalesce(sum("o1"), lit(0L)).as("boff1"),
-        coalesce(sum("o2"), lit(0L)).as("boff2"))
-    val wl = Window.partitionBy("band").orderBy(col("c").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = g.agg(sum("n1").as("n_purchase"), sum("n2").as("n_click"))
-    val cdf = g
-      .withColumn("l1", sum("n1").over(wl))
-      .withColumn("l2", sum("n2").over(wl))
-      .join(broadcast(off), "band")
+    val cdf = graft.api.Dist.bandedCumSum(g, Seq(), "c",
+        bandWidth = 1024L, sumCols = Seq("n1", "n2"))
       .crossJoin(broadcast(tot))
       .select(col("c"), col("n_purchase"), col("n_click"),
-        expr("cast(abs(cast(boff1 + l1 as decimal(19,0)) * n_click" +
-          " - cast(boff2 + l2 as decimal(19,0)) * n_purchase)" +
+        expr("cast(abs(cast(cum_n1 as decimal(19,0)) * n_click" +
+          " - cast(cum_n2 as decimal(19,0)) * n_purchase)" +
           " * 1000000 div (cast(n_purchase as decimal(38,0)) * n_click)" +
           " as bigint)").as("ppm"))
       .localCheckpoint() // support-sized; feeds the max and the argmax
@@ -150,24 +137,14 @@ object Pipeline13 extends graft.QueryModule {
     * broadcast. Selection emits (label, vec_id, pick_rank). */
   def sampleBalanced(s: SparkSession, dir: String): DataFrame = {
     val p = 1000000007L
-    val bw = p / 64 + 1
     val base = Tables.embeddings(s, dir)
       .select(col("label").cast("long").as("label"), col("vec_id"),
         expr(s"pmod(vec_id * 1103515245L + 12345L, ${p}L)").as("h"))
-      .withColumn("band", expr(s"h div ${bw}L"))
     val tgt = broadcast(base.groupBy("label").agg(count(lit(1)).as("cnt"))
       .agg(min("cnt").as("target")))
-    val bcnt = base.groupBy("label", "band").agg(count(lit(1)).as("bn"))
-    val off = bcnt.join(broadcast(bcnt.select(col("label").as("l2"),
-        col("band").as("b2"), col("bn").as("n2"))),
-        col("l2") === col("label") && col("b2") < col("band"), "left")
-      .groupBy("label", "band")
-      .agg(coalesce(sum("n2"), lit(0L)).as("boff"))
-    val wl = Window.partitionBy("label", "band")
-      .orderBy(col("h").asc, col("vec_id").asc)
-    base.withColumn("lr", row_number().over(wl).cast("long"))
-      .join(broadcast(off), Seq("label", "band"))
-      .withColumn("pick_rank", col("boff") + col("lr"))
+    graft.api.Dist.bandedRank(base, Seq("label"), "h", "vec_id",
+        bandWidth = p / 64 + 1)
+      .withColumnRenamed("rank", "pick_rank")
       .crossJoin(tgt)
       .where(col("pick_rank") <= col("target"))
       .select("label", "vec_id", "pick_rank")
