@@ -36,6 +36,7 @@ object SparkEntry {
     operators.Pipeline13,
     operators.Pipeline14,
     operators.Pipeline15,
+    operators.Pipeline16,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
