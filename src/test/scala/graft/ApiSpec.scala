@@ -467,4 +467,48 @@ class ApiSpec extends AnyFunSuite {
     // the pre-fix duplicate inflation would have pushed above 1
     assert(a.head.getDouble(3) == 1.0)
   }
+
+  test("Dist.bandedRank == naive window rank on adversarial ties/gaps") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // order-key ties inside and at band edges, empty bands, two groups
+    val rows = Seq(
+      ("a", 0L, 1L), ("a", 0L, 2L), ("a", 127L, 3L), ("a", 128L, 4L),
+      ("a", 128L, 5L), ("a", 129L, 6L), ("a", 9000L, 7L),
+      ("b", 5L, 1L), ("b", 5L, 2L), ("b", 5L, 3L), ("b", 600L, 4L))
+      .toDF("g", "x", "id")
+    val banded = api.Dist.bandedRank(rows, Seq("g"), "x", "id", 128L)
+    val w = Window.partitionBy("g").orderBy(col("x").asc, col("id").asc)
+    val naive = rows.withColumn("nr", row_number().over(w).cast("long"))
+    val mism = banded.join(naive, Seq("g", "x", "id"))
+      .where(col("rank") =!= col("nr")).count()
+    assert(mism == 0)
+  }
+
+  test("Dist.bandedCumSum inclusive/exclusive vs naive, multi-column") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // pre-grouped unique keys (the documented contract), sparse bands
+    val rows = Seq((0L, 2L, 10L), (127L, 3L, 20L), (128L, 5L, 1L),
+      (1000L, 7L, 2L), (1001L, 11L, 4L)).toDF("k", "n1", "n2")
+    val got = api.Dist.bandedCumSum(rows, Seq(), "k", 128L,
+      Seq("n1", "n2"), inclusive = true)
+    val gotEx = api.Dist.bandedCumSum(rows, Seq(), "k", 128L,
+      Seq("n1"), inclusive = false)
+    val wIn = Window.orderBy(col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wEx = Window.orderBy(col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nIn = rows.withColumn("c1", sum("n1").over(wIn))
+      .withColumn("c2", sum("n2").over(wIn))
+    val nEx = rows.withColumn("c1", coalesce(sum("n1").over(wEx), lit(0L)))
+    assert(got.join(nIn, "k").where(col("cum_n1") =!= col("c1") ||
+      col("cum_n2") =!= col("c2")).count() == 0)
+    assert(gotEx.join(nEx, "k").where(col("cum_n1") =!= col("c1"))
+      .count() == 0)
+  }
 }
