@@ -98,6 +98,46 @@ object Pipeline12 extends graft.QueryModule {
       .select("segment", "custkey", "x", "i")
   }
 
+  /** PARETO (80/20) concentration per market segment — the companion
+    * readout to [[aggGini]] on the SAME banded rank frame: the
+    * smallest number of top customers whose revenue covers ≥ 80% of
+    * the segment, exactly: k80 = n − |maximal ascending prefix with
+    * 5·cum ≤ Σx| (all-integer compare — no percentage arithmetic),
+    * emitted with its ppm share of the customer base. The cumulative
+    * sum rides api.Dist.bandedCumSum over the ranked frame — no
+    * per-segment global sort anywhere.
+    *
+    * 100 TB: same shuffles as aggGini (per-customer roll-up, co-keyed
+    * dim join, banded rank/cumsum); the k80 agg carries two numbers
+    * per segment. */
+  def winPareto(s: SparkSession, dir: String): DataFrame = {
+    val ranked = giniRanked(s, dir)
+    // localCheckpoint: the ranked+cumsum frame feeds BOTH the totals
+    // agg and the k80 consumer — without it each one replays the whole
+    // rank pipeline (at 100 TB this materialization is the store-once
+    // step a real report would persist anyway)
+    val cum = graft.api.Dist.bandedCumSum(ranked.withColumnRenamed("i", "rk"),
+      Seq("segment"), "rk", bandWidth = 4096L, sumCols = Seq("x"))
+      .localCheckpoint()
+    // totals via map-side-partial agg + broadcast, NOT a per-segment
+    // whole-partition window (which would funnel each segment's
+    // customers through one reducer at scale).
+    // 5·cum ≤ tot ⟺ cum ≤ tot div 5 for integers — the div form never
+    // multiplies a near-int64 cumulative
+    val tot = cum.groupBy("segment").agg(sum("x").as("tot"))
+    cum.join(broadcast(tot), "segment")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_custs"), min("tot").as("tot_cents"),
+        sum(when(col("cum_x") <= expr("tot div 5"), 1L).otherwise(0L))
+          .as("droppable"))
+      .select(col("segment"), col("n_custs"),
+        (col("n_custs") - col("droppable")).as("k80"),
+        expr("(n_custs - droppable) * 1000000L div n_custs")
+          .as("k80_ppm"),
+        col("tot_cents"))
+      .orderBy("segment")
+  }
+
   /** Deterministic integer classifier score shared by AUC +
     * calibration: Σ_d floor(e_d · 127) over the 64 embedding dims
     * (the q_vec_quantize_int8 floor discipline — floor has no
@@ -270,6 +310,7 @@ object Pipeline12 extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_weighted_median" -> aggWeightedMedian,
     "q_agg_gini" -> aggGini,
+    "q_win_pareto" -> winPareto,
     "q_ml_auc" -> mlAuc,
     "q_ml_calibration" -> mlCalibration,
     "q_events_cohort" -> eventsCohort,
@@ -322,6 +363,28 @@ object Pipeline12 extends graft.QueryModule {
         |  CAST((2 * six - (n_custs + 1) * sx) * 1000000
         |    // (CAST(n_custs AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
         |FROM m ORDER BY segment""".stripMargin,
+    "q_win_pareto" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY o_custkey),
+        |seg AS (
+        |  SELECT c_mktsegment AS segment, c_custkey AS custkey, x
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        |c AS (
+        |  SELECT segment, x,
+        |    SUM(x) OVER (PARTITION BY segment ORDER BY x, custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(x) OVER (PARTITION BY segment) AS tot
+        |  FROM seg)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |  CAST(COUNT(*) - SUM(CASE WHEN cum <= tot // 5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS k80,
+        |  CAST((COUNT(*) - SUM(CASE WHEN cum <= tot // 5 THEN 1 ELSE 0 END))
+        |    * 1000000 // COUNT(*) AS BIGINT) AS k80_ppm,
+        |  CAST(MIN(tot) AS BIGINT) AS tot_cents
+        |FROM c GROUP BY segment ORDER BY segment""".stripMargin,
     "q_ml_auc" ->
       """WITH sc AS (
         |  SELECT (label >= 5) AS pos,

@@ -61,6 +61,25 @@ class Pipeline12Spec extends AnyFunSuite {
     } finally { ranked.unpersist(); () }
   }
 
+  test("pareto: k80 is minimal — top-k80 covers 80%, k80−1 does not") {
+    val ranked = operators.Pipeline12.giniRanked(spark, dir).cache()
+    try {
+      run("q_win_pareto").collect().foreach { r =>
+        val (seg, n, k80, tot) =
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))
+        assert(k80 >= 1 && k80 <= n)
+        // top-k customers = ranks > n - k (ascending rank frame)
+        def topSum(k: Long): Long = ranked
+          .where(col("segment") === seg && col("i") > n - k)
+          .agg(coalesce(sum("x"), lit(0L))).head().getLong(0)
+        assert(topSum(k80) * 5 >= tot * 4, s"$seg: top-$k80 covers 80%")
+        if (k80 > 1)
+          assert(topSum(k80 - 1) * 5 < tot * 4,
+            s"$seg: k80 is minimal")
+      }
+    } finally { ranked.unpersist(); () }
+  }
+
   test("auc: rank-sum identity equals the O(n^2) pair definition") {
     val sc = Tables.embeddings(spark, dir)
       .select((col("label") >= 5).as("pos"),
