@@ -138,6 +138,33 @@ object Pipeline12 extends graft.QueryModule {
       .orderBy("segment")
   }
 
+  /** Revenue DECILE report per market segment — the third consumer of
+    * the shared banded rank frame ([[aggGini]], [[winPareto]]): each
+    * active customer lands in decile (i−1)·10 div n + 1 of its
+    * segment (exact integer rank arithmetic — no ntile, whose global
+    * sort the banded rank replaces), and each (segment, decile) row
+    * reports customers, exact cents and the ppm share of segment
+    * revenue. The decile needs per-segment n and the share needs
+    * per-segment totals — both ride one broadcast support frame.
+    *
+    * 100 TB: same shuffles as the rank frame; the report agg carries
+    * two numbers per (segment, decile). */
+  def aggDecileReport(s: SparkSession, dir: String): DataFrame = {
+    val ranked = giniRanked(s, dir)
+    val tot = ranked.groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum("x").as("seg_cents"))
+    ranked.join(broadcast(tot), "segment")
+      .groupBy(col("segment"),
+        expr("(i - 1) * 10 div n + 1").as("decile"))
+      .agg(count(lit(1)).as("n_custs"), sum("x").as("cents"),
+        min("seg_cents").as("seg_cents"))
+      .select(col("segment"), col("decile"), col("n_custs"), col("cents"),
+        // decimal: decile cents × 1e6 passes int64 at ~1e12 cents
+        expr("cast(cast(cents as decimal(38,0)) * 1000000 div seg_cents" +
+          " as bigint)").as("share_ppm"))
+      .orderBy("segment", "decile")
+  }
+
   /** Deterministic integer classifier score shared by AUC +
     * calibration: Σ_d floor(e_d · 127) over the 64 embedding dims
     * (the q_vec_quantize_int8 floor discipline — floor has no
@@ -311,6 +338,7 @@ object Pipeline12 extends graft.QueryModule {
     "q_agg_weighted_median" -> aggWeightedMedian,
     "q_agg_gini" -> aggGini,
     "q_win_pareto" -> winPareto,
+    "q_agg_decile_report" -> aggDecileReport,
     "q_ml_auc" -> mlAuc,
     "q_ml_calibration" -> mlCalibration,
     "q_events_cohort" -> eventsCohort,
@@ -385,6 +413,29 @@ object Pipeline12 extends graft.QueryModule {
         |    * 1000000 // COUNT(*) AS BIGINT) AS k80_ppm,
         |  CAST(MIN(tot) AS BIGINT) AS tot_cents
         |FROM c GROUP BY segment ORDER BY segment""".stripMargin,
+    "q_agg_decile_report" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY o_custkey),
+        |seg AS (
+        |  SELECT c_mktsegment AS segment, c_custkey AS custkey, x
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT segment, x,
+        |    ROW_NUMBER() OVER (PARTITION BY segment ORDER BY x, custkey)
+        |      AS i,
+        |    COUNT(*) OVER (PARTITION BY segment) AS n,
+        |    SUM(x) OVER (PARTITION BY segment) AS seg_cents
+        |  FROM seg)
+        |SELECT segment, CAST((i - 1) * 10 // n + 1 AS BIGINT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |  CAST(SUM(x) AS BIGINT) AS cents,
+        |  CAST(CAST(SUM(x) AS HUGEINT) * 1000000 // MIN(seg_cents)
+        |    AS BIGINT) AS share_ppm
+        |FROM r GROUP BY segment, (i - 1) * 10 // n + 1
+        |ORDER BY segment, decile""".stripMargin,
     "q_ml_auc" ->
       """WITH sc AS (
         |  SELECT (label >= 5) AS pos,

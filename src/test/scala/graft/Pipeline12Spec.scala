@@ -80,6 +80,29 @@ class Pipeline12Spec extends AnyFunSuite {
     } finally { ranked.unpersist(); () }
   }
 
+  test("decile report: conservation, monotone deciles, shares sum to ~1e6") {
+    val df = run("q_agg_decile_report").cache()
+    try {
+      val ranked = operators.Pipeline12.giniRanked(spark, dir)
+      assert(df.agg(sum("n_custs")).head().getLong(0) == ranked.count())
+      df.groupBy("segment")
+        .agg(sum("share_ppm").as("tot"), sum("cents").as("c"),
+          max("decile").as("mx"), min("decile").as("mn"))
+        .collect().foreach { r =>
+          // Σ floor shares within |deciles| ppm of exactly 1e6
+          assert(r.getLong(1) > 1000000L - 11 && r.getLong(1) <= 1000000L)
+          assert(r.getLong(3) >= 1L && r.getLong(3) <= 10L)
+        }
+      // decile 10 (top) outearns decile 1 in every segment
+      val top = df.where(col("decile") === 10)
+        .select(col("segment"), col("cents").as("top_c"))
+      val bot = df.where(col("decile") === 1)
+        .select(col("segment"), col("cents").as("bot_c"))
+      assert(top.join(bot, "segment")
+        .where(col("top_c") < col("bot_c")).count() == 0)
+    } finally { df.unpersist(); () }
+  }
+
   test("auc: rank-sum identity equals the O(n^2) pair definition") {
     val sc = Tables.embeddings(spark, dir)
       .select((col("label") >= 5).as("pos"),
