@@ -37,6 +37,7 @@ object SparkEntry {
     operators.Pipeline14,
     operators.Pipeline15,
     operators.Pipeline16,
+    operators.Pipeline17,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

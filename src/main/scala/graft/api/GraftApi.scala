@@ -938,6 +938,95 @@ object Ml {
           .orderBy(col("freq").desc, col(valueCol).asc)) - 1).cast("long"))
       .select(valueCol, "sidx")
 
+  /** DENSE-ID dictionary over an arbitrary key column — the standard
+    * ALS prep step (spark.ml ALS ids are Int, real user/item keys are
+    * arbitrary longs/strings; VERDICT r9 #3): returns (key, id) with
+    * `id` a contiguous deterministic 0-based Int over the DISTINCT
+    * non-null keys. The rank is [[Dist.bandedRank]] over the key's
+    * xxhash64 (shifted non-negative) with the key's string form as the
+    * tie-break — per-(band) local row_number + broadcast band offsets,
+    * NEVER a global sort, so the dictionary builds with one hash agg +
+    * one banded window at any key cardinality. Deterministic across
+    * partitionings/engines (pure hash arithmetic), bijective (hash
+    * collisions break on the distinct string form), and id < 2^31
+    * holds up to Int.MaxValue distinct keys — past that ALS itself is
+    * the blocker, not this dictionary.
+    *
+    * Restriction (inherited from the string tie-break): two DISTINCT
+    * keys must render to distinct strings — true for any atomic key
+    * type; don't feed struct/array keys. */
+  def denseIds(df: DataFrame, keyCol: String): DataFrame = {
+    val bandW = (1L << 62) / 4096 + 1 // uniform hash → ~4096 even bands
+    val keys = df.select(col(keyCol).as("key")).where(col("key").isNotNull)
+      .distinct()
+      .withColumn("__h", pmod(xxhash64(col("key")), lit(1L << 62)))
+      .withColumn("__t", col("key").cast("string"))
+    Dist.bandedRank(keys, Seq(), "__h", "__t", bandWidth = bandW)
+      .select(col("key"), (col("rank") - 1).cast("int").as("id"))
+  }
+
+  /** Millionths DCG weight table for [[rankingMetricsAt5]]:
+    * floor(1e6 / log2(rank + 1)) for ranks 1..5, FIXED as literals so
+    * both the Spark projection and any SQL oracle evaluate identical
+    * integers (libm log2 never runs at query time — VERDICT r9 #2's
+    * "log2 via literal table" discipline). Prefix sums are the ideal
+    * DCG at 1..5 relevant items. */
+  val dcgWeightsMillionths: Seq[Long] =
+    Seq(1000000L, 630929L, 500000L, 430676L, 386852L)
+  val idcgPrefixMillionths: Seq[Long] =
+    dcgWeightsMillionths.scanLeft(0L)(_ + _).tail // 1e6,1630929,…,2948457
+
+  /** RANKING-metrics evaluator at k = 5 — the recommender's eval half
+    * (precision@5 / AP@5 / NDCG@5), all EXACT integer ppm so the same
+    * math is SQL-twin-able:
+    *  - `recs`: (userCol, rankCol 1-based ≤ 5, itemCol) — one ranked
+    *    list per user (e.g. an ALS or popularity top-5);
+    *  - `rel`:  (userCol, itemCol) — the held-out relevant set.
+    * Per user with ≥ 1 relevant item: n_rel, hits = |top-5 ∩ rel|,
+    * prec5_ppm = 1e6·hits div 5, AP@5 via the ×60 lcm trick (60/i is
+    * integral for i ≤ 5, so Σ relᵢ·cumᵢ·(60/i) is exact; normalized
+    * by min(5, n_rel)), and NDCG@5 from the fixed millionths weight
+    * table with IDCG = prefix[min(5, n_rel)]. Users absent from `rel`
+    * are dropped (metrics are undefined at n_rel = 0).
+    *
+    * 100 TB: `rel` aggregates per user (map-side partial), the rec/rel
+    * join is co-keyed on (user, item), and the per-user cumulative-hit
+    * window partitions on user with ≤ 5 rows each — no global sort,
+    * no driver materialization. */
+  def rankingMetricsAt5(recs: DataFrame, rel: DataFrame,
+      userCol: String = "user", rankCol: String = "rank",
+      itemCol: String = "item"): DataFrame = {
+    val w = dcgWeightsMillionths
+    val relCnt = rel.select(col(userCol), col(itemCol)).distinct()
+      .groupBy(userCol).agg(count(lit(1)).as("n_rel"))
+    val marked = recs
+      .join(rel.select(col(userCol), col(itemCol))
+        .distinct().withColumn("__hit", lit(1L)),
+        Seq(userCol, itemCol), "left")
+      .na.fill(0L, Seq("__hit"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(rankCol).asc)
+      .rowsBetween(Long.MinValue, 0)
+    val weightCase = (1 to 5).zip(w)
+      .map { case (i, wi) => s"WHEN $i THEN ${wi}L" }
+      .mkString(s"CASE $rankCol ", " ", " ELSE 0L END")
+    val idcgCase = (1 to 5).zip(idcgPrefixMillionths)
+      .map { case (i, s) => s"WHEN $i THEN ${s}L" }
+      .mkString("CASE least(n_rel, 5L) ", " ", " ELSE 0L END")
+    marked
+      .withColumn("__cum", sum("__hit").over(wc))
+      .groupBy(userCol)
+      .agg(sum("__hit").as("hits"),
+        sum(expr(s"__hit * __cum * (60L div $rankCol)")).as("__apnum"),
+        sum(expr(s"__hit * ($weightCase)")).as("__dcg"))
+      .join(relCnt, userCol)
+      .select(col(userCol), col("n_rel"), col("hits"),
+        expr("(1000000 * hits) div 5").as("prec5_ppm"),
+        expr("(1000000 * __apnum) div (60 * least(n_rel, 5L))")
+          .as("ap5_ppm"),
+        expr(s"(1000000 * __dcg) div ($idcgCase)").as("ndcg5_ppm"))
+  }
+
   /** LEAKAGE-SAFE train/val/test assignment: a doc's split is decided
     * by its near-dup CLUSTER representative, not its own id, so two
     * near-duplicate documents can never land in different splits (the
@@ -2178,8 +2267,12 @@ object Profile {
   *
   * REQUIREMENTS: `orderCol` must be a non-negative integral column
   * (shift first — integer `div` is not monotone across negatives),
-  * and for [[bandedCumSum]] the (partCols, orderCol) rows should be
-  * unique (pre-group) so "cumulative at a key" is well-defined.
+  * `partCols` must be NON-NULL (the final offset equi-join is a
+  * USING join, so a null partition key would silently drop its rows;
+  * the offset theta-join itself is null-safe `<=>` so the two joins
+  * can never disagree), and for [[bandedCumSum]] the (partCols,
+  * orderCol) rows should be unique (pre-group) so "cumulative at a
+  * key" is well-defined.
   *
   * 100 TB: the only row-scale work is one window whose partitions are
   * (partition, band) — balanced by construction for a uniform order
@@ -2204,7 +2297,7 @@ object Dist {
       (partCols.map(c => col(c).as(s"__r_$c")) :+
         col("__band").as("__band2")) ++
         sumCols.map(c => col(s"__bt_$c").as(s"__r_$c-sum")): _*)
-    val cond = partCols.map(c => col(s"__r_$c") === col(c))
+    val cond = partCols.map(c => col(s"__r_$c") <=> col(c))
       .foldLeft(col("__band2") < col("__band"))(_ && _)
     val off = bt.join(broadcast(btR), cond, "left")
       .groupBy(pb.map(col): _*)
@@ -2242,7 +2335,7 @@ object Dist {
     val bcntR = bcnt.select(
       (partCols.map(c => col(c).as(s"__r_$c")) :+
         col("__band").as("__band2")) :+ col("__bn").as("__bn2"): _*)
-    val cond = partCols.map(c => col(s"__r_$c") === col(c))
+    val cond = partCols.map(c => col(s"__r_$c") <=> col(c))
       .foldLeft(col("__band2") < col("__band"))(_ && _)
     val off = bcnt.join(broadcast(bcntR), cond, "left")
       .groupBy(pb.map(col): _*)

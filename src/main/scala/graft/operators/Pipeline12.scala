@@ -29,8 +29,10 @@ object Pipeline12 extends graft.QueryModule {
     *
     * 100 TB: ONE map-side-partial hash agg is the only full-data
     * pass; weights are exact cents in int64 (Σ ≤ ~1e18 at 1e12 rows
-    * of 1e6-cent lines; the ×4 quartile compare is the documented
-    * headroom edge — move w to decimal(38,0) past that). */
+    * of 1e6-cent lines) and the ×4/×3 quartile compares run in
+    * decimal(38,0)/HUGEINT on both engines, so the compare cannot
+    * wrap even at full int64 cumulative mass (ADVICE-r9 class fix,
+    * same as q_ml_ab_ttest's variance move). */
   def aggWeightedMedian(s: SparkSession, dir: String): DataFrame = {
     val g = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"),
@@ -43,9 +45,12 @@ object Pipeline12 extends graft.QueryModule {
     g.withColumn("cum", sum("w").over(wc))
       .withColumn("tot", sum("w").over(wt))
       .groupBy("flag")
-      .agg(min(when(col("cum") * 4 >= col("tot"), col("v"))).as("wq1_qty"),
-        min(when(col("cum") * 2 >= col("tot"), col("v"))).as("wmedian_qty"),
-        min(when(col("cum") * 4 >= col("tot") * 3, col("v"))).as("wq3_qty"),
+      .agg(min(when(expr("cast(cum as decimal(38,0)) * 4 >= tot"),
+          col("v"))).as("wq1_qty"),
+        min(when(expr("cast(cum as decimal(38,0)) * 2 >= tot"),
+          col("v"))).as("wmedian_qty"),
+        min(when(expr("cast(cum as decimal(38,0)) * 4" +
+          " >= cast(tot as decimal(38,0)) * 3"), col("v"))).as("wq3_qty"),
         min("tot").as("total_weight_cents"))
       .orderBy("flag")
   }
@@ -231,8 +236,11 @@ object Pipeline12 extends graft.QueryModule {
       .orderBy("bucket")
 
   /** Weekly COHORT activity: users grouped by first-seen week (weeks
-    * as integer day-offsets div 7 from 2024-01-01 — pure integer
-    * arithmetic, no engine week-truncation semantics), then per
+    * as FLOOR(day-offset / 7) from 2024-01-01 — pure integer
+    * arithmetic, no engine week-truncation semantics; floor, not
+    * truncating `div`, so a date before the epoch still buckets
+    * identically to the DuckDB oracle's floor `//` instead of
+    * silently merging weeks −0/+0 — ADVICE r9), then per
     * (cohort week, weeks-since) the active users, events and exact
     * purchase cents — the retention×revenue triangle behind LTV
     * curves. The cohort tag is a min-over-user window (one key
@@ -246,7 +254,7 @@ object Pipeline12 extends graft.QueryModule {
     val wu = Window.partitionBy("user_id")
     val ev = Tables.events(s, dir)
       .withColumn("wk",
-        expr("datediff(to_date(ts), date'2024-01-01') div 7"))
+        expr("floor(datediff(to_date(ts), date'2024-01-01') / 7)"))
       .withColumn("cohort_wk", min("wk").over(wu))
     ev.groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
       .agg(countDistinct("user_id").as("n_users"),
@@ -259,7 +267,9 @@ object Pipeline12 extends graft.QueryModule {
 
   /** Weekly OHLC RESAMPLE of the order-total series — the downsample
     * primitive (pandas `resample('W').ohlc()` shape): per week
-    * (integer day-offset div 7 from the 1995-01-01 fixture epoch)
+    * (FLOOR(day-offset / 7) from the 1995-01-01 fixture epoch —
+    * floor like the oracle's `//`, not truncating `div`, so
+    * pre-epoch dates cannot diverge; ADVICE r9)
     * the first/last order's exact cents in (date, orderkey) order,
     * min/max, count and volume. Open/close come from
     * first/last_value over the full per-week frame — one window pass
@@ -271,7 +281,7 @@ object Pipeline12 extends graft.QueryModule {
     * the headroom edge documented at q_agg_weighted_median. */
   def timeResample(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-      .select(expr("datediff(o_orderdate, date'1995-01-01') div 7")
+      .select(expr("floor(datediff(o_orderdate, date'1995-01-01') / 7)")
           .as("week_idx"),
         col("o_orderdate").as("d"), col("o_orderkey").as("k"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("c"))
@@ -360,11 +370,12 @@ object Pipeline12 extends graft.QueryModule {
         |    SUM(w) OVER (PARTITION BY flag) AS tot
         |  FROM g)
         |SELECT flag,
-        |  CAST(MIN(CASE WHEN cum * 4 >= tot THEN v END) AS BIGINT)
-        |    AS wq1_qty,
-        |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT)
-        |    AS wmedian_qty,
-        |  CAST(MIN(CASE WHEN cum * 4 >= tot * 3 THEN v END) AS BIGINT)
+        |  CAST(MIN(CASE WHEN CAST(cum AS HUGEINT) * 4 >= tot THEN v END)
+        |    AS BIGINT) AS wq1_qty,
+        |  CAST(MIN(CASE WHEN CAST(cum AS HUGEINT) * 2 >= tot THEN v END)
+        |    AS BIGINT) AS wmedian_qty,
+        |  CAST(MIN(CASE WHEN CAST(cum AS HUGEINT) * 4
+        |    >= CAST(tot AS HUGEINT) * 3 THEN v END) AS BIGINT)
         |    AS wq3_qty,
         |  CAST(MIN(tot) AS BIGINT) AS total_weight_cents
         |FROM c GROUP BY flag ORDER BY flag""".stripMargin,

@@ -137,9 +137,14 @@ object Pipeline13 extends graft.QueryModule {
     * broadcast. Selection emits (label, vec_id, pick_rank). */
   def sampleBalanced(s: SparkSession, dir: String): DataFrame = {
     val p = 1000000007L
+    // vec_id is reduced mod p BEFORE the LCG multiply: (p-1)·1103515245
+    // ≈ 1.1e18 < 2^63, so the hash stays exact int64 for ANY vec_id,
+    // where the raw vec_id·a form wraps (Spark) / raises (DuckDB) past
+    // vec_id ≈ 8.4e9 — i.e. at the claimed 100 TB id domain (ADVICE r9).
     val base = Tables.embeddings(s, dir)
       .select(col("label").cast("long").as("label"), col("vec_id"),
-        expr(s"pmod(vec_id * 1103515245L + 12345L, ${p}L)").as("h"))
+        expr(s"pmod(pmod(vec_id, ${p}L) * 1103515245L + 12345L, ${p}L)")
+          .as("h"))
     val tgt = broadcast(base.groupBy("label").agg(count(lit(1)).as("cnt"))
       .agg(min("cnt").as("target")))
     graft.api.Dist.bandedRank(base, Seq("label"), "h", "vec_id",
@@ -231,7 +236,7 @@ object Pipeline13 extends graft.QueryModule {
     "q_sample_balanced" ->
       """WITH h AS (
         |  SELECT CAST(label AS BIGINT) AS label, vec_id,
-        |    (vec_id * 1103515245 + 12345) % 1000000007 AS hh
+        |    ((vec_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS hh
         |  FROM embeddings),
         |t AS (SELECT MIN(cnt) AS target FROM
         |  (SELECT COUNT(*) AS cnt FROM h GROUP BY label)),

@@ -511,4 +511,29 @@ class ApiSpec extends AnyFunSuite {
     assert(gotEx.join(nEx, "k").where(col("cum_n1") =!= col("c1"))
       .count() == 0)
   }
+
+  test("Ml.denseIds: contiguous bijective 0-based ids, deterministic, " +
+    "null-safe, any key type") {
+    val sp = spark
+    import sp.implicits._
+    // sparse, unordered, duplicated long keys + a null (dropped)
+    val longs = Seq(900000000000L, 7L, 7L, 42L, 900000000000L, 1L)
+      .map(Option(_)).:+(None).toDF("k")
+    val d1 = api.Ml.denseIds(longs, "k").cache()
+    assert(d1.count() == 4) // distinct non-null keys
+    val ids = d1.select("id").collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq == Seq(0, 1, 2, 3), "ids must be contiguous 0-based")
+    // bijective: distinct ids == distinct keys
+    assert(d1.select("id").distinct().count() == 4)
+    // deterministic: a second independent build maps identically
+    val d2 = api.Ml.denseIds(longs, "k")
+    assert(d1.join(d2.withColumnRenamed("id", "id2"), "key")
+      .where(col("id") =!= col("id2")).count() == 0)
+    d1.unpersist()
+    // string keys work too (the ALS "arbitrary key domain" contract)
+    val strs = Seq("beta", "alpha", "beta", "gamma").toDF("k")
+    val ds = api.Ml.denseIds(strs, "k")
+    assert(ds.count() == 3 &&
+      ds.agg(min("id"), max("id")).head().toSeq == Seq(0, 2))
+  }
 }
