@@ -54,9 +54,12 @@ object Pipeline10 extends graft.QueryModule {
     // dataset count MLlib derives minCount = ceil(minSupport * n)
     // from is unchanged; ceil(nb * minSupport) below is the identical
     // IEEE double product both MLlib and the DuckDB oracle evaluate.
-    val ic = b.groupBy("l_partkey").agg(count(lit(1)).as("ic"))
-    val nb = b.agg(countDistinct("l_orderkey").as("nb"))
-    val baskets = b.join(ic, "l_partkey")
+    // b feeds three consumers (item counts, basket count, the join) —
+    // checkpoint so the lineitem scan + distinct runs once, not thrice
+    val bc = b.localCheckpoint()
+    val ic = bc.groupBy("l_partkey").agg(count(lit(1)).as("ic"))
+    val nb = bc.agg(countDistinct("l_orderkey").as("nb"))
+    val baskets = bc.join(ic, "l_partkey")
       .crossJoin(broadcast(nb))
       .groupBy("l_orderkey")
       .agg(collect_list(when(
@@ -193,11 +196,17 @@ object Pipeline10 extends graft.QueryModule {
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .agg(count(lit(1)).cast("float").as("cnt"))
+      // six consumers re-derive this frame (two dictionaries, the fit
+      // join, probes, and the known-item anti-join) — checkpoint so the
+      // orders×lineitem join + roll-up runs once
+      .localCheckpoint()
     val cids = graft.api.Ml.denseIds(raw, "cust")
       .select(col("key").as("cust"), col("id").as("cid"))
     val pids = graft.api.Ml.denseIds(raw, "part")
       .select(col("key").as("part"), col("id").as("pid"))
+      .localCheckpoint() // reused by the item-factor readout join
     val ratings = raw.join(cids, "cust").join(pids, "part")
+      .localCheckpoint() // fit + probes + anti-join share one build
     val model = new ALS().setRank(8).setMaxIter(5).setRegParam(0.1)
       .setImplicitPrefs(true).setAlpha(1.0).setSeed(42L)
       .setUserCol("cid").setItemCol("pid").setRatingCol("cnt")

@@ -22,18 +22,24 @@ object Pipeline17 extends graft.QueryModule {
     * a random split would leak future co-purchases into train). */
   private val splitDate = "date'1997-01-01'"
 
-  /** (cust, part) distinct interactions on one side of the split. */
-  private def interactions(s: SparkSession, dir: String,
-      train: Boolean): DataFrame = {
-    val cmp = if (train) s"o_orderdate < $splitDate"
-    else s"o_orderdate >= $splitDate"
-    Tables.orders(s, dir).where(expr(cmp))
-      .select(col("o_orderkey"), col("o_custkey").as("cust"))
+  /** (cust, part, in_tr, in_te) — every distinct interaction pair
+    * tagged with the split sides it appears on, built in ONE
+    * orders×lineitem join + roll-up and checkpointed (both split
+    * sides, the relevance anti-join and the popularity count all
+    * re-derive it otherwise). */
+  private def splitInteractions(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("cust"),
+        col("o_orderdate"))
       .join(Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_partkey").as("part")),
         col("o_orderkey") === col("l_orderkey"))
-      .select("cust", "part").distinct()
-  }
+      .groupBy("cust", "part")
+      .agg(max(expr(s"case when o_orderdate < $splitDate then 1 else 0 end"))
+          .as("in_tr"),
+        max(expr(s"case when o_orderdate >= $splitDate then 1 else 0 end"))
+          .as("in_te"))
+      .localCheckpoint()
 
   /** RANKING-METRICS evaluator readout (the recommender eval half,
     * VERDICT r9 #2): precision@5 / AP@5 / NDCG@5 of a deterministic
@@ -56,9 +62,10 @@ object Pipeline17 extends graft.QueryModule {
     * 20-probe frame — never a global popularity sort; the evaluator's
     * windows hold ≤ 5 rows per user. */
   def mlRankingMetrics(s: SparkSession, dir: String): DataFrame = {
-    val train = interactions(s, dir, train = true)
-    val test = interactions(s, dir, train = false)
-    val rel = test.join(train, Seq("cust", "part"), "left_anti")
+    val inter = splitInteractions(s, dir)
+    val train = inter.where(col("in_tr") === 1).select("cust", "part")
+    val rel = inter.where(col("in_te") === 1 && col("in_tr") === 0)
+      .select("cust", "part")
     val probes = train.select("cust").distinct()
       .join(rel.select("cust").distinct(), "cust")
       .orderBy("cust").limit(20)
@@ -207,7 +214,10 @@ object Pipeline17 extends graft.QueryModule {
     // the L-BFGS fit rescans per iteration unless cached; fit is
     // eager, so unpersist right after (the LR wrapper's pattern)
     val cached = users.persist()
-    val model = try new AFTSurvivalRegression()
+    // maxIter bounded like the other iterative wrappers: the 2-feature
+    // Weibull MLE plateaus in a few L-BFGS rounds; the default 100
+    // iteration cap costs a full treeAggregate job per round
+    val model = try new AFTSurvivalRegression().setMaxIter(25)
       .setQuantileProbabilities(Array(0.25, 0.5, 0.75))
       .setQuantilesCol("q").fit(cached)
     finally cached.unpersist(false)
