@@ -205,4 +205,57 @@ object PropertySpec extends Properties("graft.arithmetic") {
       val num = 2 * six - (n + 1) * sx
       num >= 0 && num < n * sx
     }
+
+  // Reference implementation of api.Ml.rankingMetricsAt5's integer
+  // arithmetic (the ×60 AP lcm trick + the literal DCG weight table),
+  // shared invariants with the Spark projection and the SQL twin.
+  private def rankMetrics(hits: Seq[Boolean], nRel: Long): (Long, Long, Long) = {
+    val w = api.Ml.dcgWeightsMillionths
+    val idcg = api.Ml.idcgPrefixMillionths
+    val cums = hits.scanLeft(0L)((a, h) => a + (if (h) 1 else 0)).tail
+    val nHits = cums.last
+    val apNum = hits.zipWithIndex.collect {
+      case (true, i) => cums(i) * (60L / (i + 1))
+    }.sum
+    val dcg = hits.zipWithIndex.collect { case (true, i) => w(i) }.sum
+    val k = math.min(5L, nRel)
+    (1000000L * nHits / 5L,
+      1000000L * apNum / (60L * k),
+      1000000L * dcg / idcg(k.toInt - 1))
+  }
+
+  private val hitVec: Gen[Seq[Boolean]] =
+    Gen.listOfN(5, Gen.oneOf(true, false)).map(_.toSeq)
+
+  property("ranking metrics: ppm-bounded, perfect prefix saturates AP/NDCG") =
+    forAll(hitVec, Gen.chooseNum(1L, 50L)) { (hits0, extra) =>
+      val nRel = math.max(hits0.count(identity).toLong, 1L) + extra - 1
+      val (p, ap, nd) = rankMetrics(hits0, nRel)
+      val bounded = Seq(p, ap, nd).forall(v => v >= 0 && v <= 1000000L)
+      // all of the first min(5, nRel) slots hit, nothing ranked after
+      // a miss: AP and NDCG are definitionally perfect
+      val k = math.min(5L, nRel).toInt
+      val perfect = rankMetrics(
+        Seq.tabulate(5)(_ < k), nRel)
+      bounded && perfect._2 == 1000000L && perfect._3 == 1000000L
+    }
+
+  property("ranking metrics: a hit never hurts (monotone in hits)") =
+    forAll(hitVec, Gen.chooseNum(0, 4), Gen.chooseNum(1L, 50L)) {
+      (hits, flip, extra) =>
+      val nRel0 = hits.count(identity).toLong + extra
+      val flipped = hits.updated(flip, true)
+      val nRel1 = math.max(nRel0, flipped.count(identity).toLong)
+      val (p0, ap0, nd0) = rankMetrics(hits, nRel1)
+      val (p1, ap1, nd1) = rankMetrics(flipped, nRel1)
+      p1 >= p0 && ap1 >= ap0 && nd1 >= nd0
+    }
+
+  property("DCG weight table: strictly decreasing, prefixes telescope") = Prop {
+    val w = api.Ml.dcgWeightsMillionths
+    val pre = api.Ml.idcgPrefixMillionths
+    w.zip(w.tail).forall { case (a, b) => a > b } &&
+      pre.head == w.head &&
+      pre.zip(pre.tail).zip(w.tail).forall { case ((a, b), wi) => b - a == wi }
+  }
 }
