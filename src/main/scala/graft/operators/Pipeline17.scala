@@ -232,11 +232,47 @@ object Pipeline17 extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** PRECISION-RECALL curve of the int8 embedding score against the
+    * binary label — the eval sibling q_ml_auc (rank-sum ROC) and
+    * q_ml_calibration still lacked: at every distinct observed score
+    * t (classifier "score ≥ t"), exact TP/FP counts via the
+    * DESCENDING cumulative (total − strictly-below ascending cumsum —
+    * api.Dist.bandedCumSum exclusive, the q_ml_auc band pattern, no
+    * global sort), and precision / recall / F1 as exact integer ppm
+    * (F1 = 2·TP div (2·TP+FP+FN) — the harmonic mean IS a rational,
+    * no double arithmetic anywhere).
+    *
+    * 100 TB: one map-side-partial hash agg is the only full-data
+    * pass; the curve itself is the DOMAIN-bounded ≤16k-score frame
+    * (1e6·TP ≤ 1e18 stays int64 to 1e12 rows; past that lift the ppm
+    * products to decimal(38,0) like the AUC numerator). */
+  def mlPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val g = Pipeline12.scored(s, dir).groupBy("score")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+      .withColumn("sh", expr("score + 8192L")) // div needs non-negatives
+    val tot = g.agg(sum("np").as("n_pos"), sum("nn").as("n_neg"))
+    graft.api.Dist.bandedCumSum(g, Seq(), "sh", bandWidth = 128L,
+        sumCols = Seq("np", "nn"), inclusive = false)
+      .crossJoin(broadcast(tot))
+      .select(col("score"),
+        (col("n_pos") - col("cum_np")).as("tp"),
+        (col("n_neg") - col("cum_nn")).as("fp"),
+        col("n_pos"))
+      .select(col("score"), col("tp"), col("fp"),
+        expr("(1000000 * tp) div (tp + fp)").as("precision_ppm"),
+        expr("(1000000 * tp) div n_pos").as("recall_ppm"),
+        expr("(2000000 * tp) div (2 * tp + fp + (n_pos - tp))")
+          .as("f1_ppm"))
+      .orderBy("score")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_ranking_metrics" -> mlRankingMetrics,
     "q_ml_feature_select" -> mlFeatureSelect,
     "q_ml_bisecting_kmeans" -> mlBisectingKmeans,
-    "q_ml_aft_survival" -> mlAftSurvival)
+    "q_ml_aft_survival" -> mlAftSurvival,
+    "q_ml_pr_curve" -> mlPrCurve)
 
   def oracleSql: Map[String, String] = Map(
     "q_ml_ranking_metrics" ->
@@ -325,5 +361,34 @@ object Pipeline17 extends graft.QueryModule {
         |    ON s2.stat_milli > s1.stat_milli
         |    OR (s2.stat_milli = s1.stat_milli AND s2.dim < s1.dim)
         |  GROUP BY s1.dim, s1.stat_milli)
-        |WHERE sel_rank <= 8 ORDER BY sel_rank""".stripMargin)
+        |WHERE sel_rank <= 8 ORDER BY sel_rank""".stripMargin,
+    "q_ml_pr_curve" ->
+      """WITH sc AS (
+        |  SELECT (label >= 5) AS pos,
+        |    CAST(list_sum(list_transform(embedding::DOUBLE[],
+        |      x -> CAST(floor(x * 127.0) AS BIGINT))) AS BIGINT) AS score
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT score,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM sc GROUP BY score),
+        |t AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |             CAST(SUM(nn) AS BIGINT) AS n_neg FROM g),
+        |c AS (
+        |  SELECT score,
+        |    n_pos - CAST(COALESCE(SUM(np) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tp,
+        |    n_neg - CAST(COALESCE(SUM(nn) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS fp,
+        |    n_pos
+        |  FROM g, t)
+        |SELECT score, tp, fp,
+        |  CAST((1000000 * tp) // (tp + fp) AS BIGINT) AS precision_ppm,
+        |  CAST((1000000 * tp) // n_pos AS BIGINT) AS recall_ppm,
+        |  CAST((2000000 * tp) // (2 * tp + fp + (n_pos - tp)) AS BIGINT)
+        |    AS f1_ppm
+        |FROM c ORDER BY score""".stripMargin)
 }

@@ -122,6 +122,21 @@ class Pipeline17Spec extends AnyFunSuite {
       s"bisecting/kmeans majority agreement ${agree.toDouble / n} < 0.25")
   }
 
+  test("pr curve: recall monotone, min-threshold saturates, ppm bounds") {
+    val rs = run("q_ml_pr_curve").collect()
+    assert(rs.nonEmpty)
+    // threshold = min observed score admits every row: recall 100%
+    assert(rs.head.getLong(4) == 1000000L)
+    val recalls = rs.map(_.getLong(4))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      "recall must be non-increasing as the threshold rises")
+    rs.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) > 0, "tp+fp > 0 at observed scores")
+      Seq(3, 4, 5).foreach(i =>
+        assert(r.getLong(i) >= 0 && r.getLong(i) <= 1000000L))
+    }
+  }
+
   test("aft survival: monotone quantiles, positive, deterministic refit") {
     val a = rows("q_ml_aft_survival")
     val b = rows("q_ml_aft_survival")
