@@ -65,8 +65,13 @@ object Pipeline10 extends graft.QueryModule {
       .agg(collect_list(when(
         col("ic") >= ceil(col("nb") * lit(fiMinSupport)),
         col("l_partkey"))).as("items"))
+    // numPartitions = PFP group count: 8 keeps the conditional-tree
+    // mining parallel while quartering the suffix-shuffle task count
+    // (the default inherits the input's 32 post-shuffle partitions —
+    // dispatch overhead, not mining, at this basket density); support
+    // counts are partition-independent, so output is unchanged.
     val model = new FPGrowth().setItemsCol("items")
-      .setMinSupport(fiMinSupport).fit(baskets)
+      .setMinSupport(fiMinSupport).setNumPartitions(8).fit(baskets)
     model.freqItemsets
       .where(size(col("items")) <= 2)
       .select(

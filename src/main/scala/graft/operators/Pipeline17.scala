@@ -212,8 +212,16 @@ object Pipeline17 extends graft.QueryModule {
         toVec(array(expr("log1p(cast(n_ev as double))"),
           expr("cast(n_pur as double) / n_ev"))).as("features"))
     // the L-BFGS fit rescans per iteration unless cached; fit is
-    // eager, so unpersist right after (the LR wrapper's pattern)
-    val cached = users.persist()
+    // eager, so unpersist right after (the LR wrapper's pattern).
+    // coalesce(8) first: a CACHED plan keeps its pre-AQE shuffle
+    // partitioning (canChangeCachedPlanOutputPartitioning=false), so
+    // the per-user support frame would otherwise pin 32 near-empty
+    // partitions and every line-search evaluation would pay 32-task
+    // scheduling overhead — the measured cost of this fit is task
+    // dispatch, not math. 8 keeps the treeAggregate parallel while
+    // cutting dispatch 4×; at a row count where 8 partitions spill,
+    // raise it with the data (the state per task is O(|features|)).
+    val cached = users.coalesce(8).persist()
     // maxIter bounded like the other iterative wrappers: the 2-feature
     // Weibull MLE plateaus in a few L-BFGS rounds; the default 100
     // iteration cap costs a full treeAggregate job per round
