@@ -38,6 +38,7 @@ object SparkEntry {
     operators.Pipeline15,
     operators.Pipeline16,
     operators.Pipeline17,
+    operators.Pipeline18,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

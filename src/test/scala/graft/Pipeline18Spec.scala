@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Ring 2: round-10 evaluator/prep completions — metric-identity
+  * bounds for the six oracle-checked keys (confusion matrix,
+  * regression metrics, lift/gains, imputer, correlation matrix,
+  * decision stump) and determinism + shape bounds for the seeded
+  * GaussianMixture and LDA wrappers (the no-oracle keys). */
+class Pipeline18Spec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  private def rows(name: String): Seq[String] =
+    run(name).collect().map(_.toString).toSeq.sorted
+
+  test("confusion matrix: totals, tp bounds, ppm identities") {
+    val rs = run("q_ml_confusion_matrix").collect()
+    assert(rs.nonEmpty)
+    val nEval = graft.Tables.embeddings(spark, dir)
+      .where(expr("vec_id % 2 = 1")).count()
+    assert(rs.map(_.getLong(1)).sum == nEval, "n_actual sums to eval fold")
+    assert(rs.map(_.getLong(2)).sum == nEval, "n_pred sums to eval fold")
+    rs.foreach { r =>
+      val (nAct, nPred, tp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tp <= math.min(nAct, if (nPred == 0) nAct else nPred))
+      assert(r.getLong(4) ==
+        (if (nPred == 0) 0L else 1000000L * tp / nPred))
+      assert(r.getLong(5) == 1000000L * tp / nAct)
+      assert(r.getLong(6) == 2000000L * tp / (nPred + nAct))
+    }
+  }
+
+  test("regression metrics: fold shape and metric ranges") {
+    val rs = run("q_ml_regression_metrics").collect()
+    assert(rs.length == 5, "one row per order priority")
+    rs.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      val (mae, mse) = (r.getLong(3), r.getLong(4))
+      assert(mae >= 0 && mse >= 0)
+      // Cauchy-Schwarz: E[|err|]^2 <= E[err^2] (floor-div slack 1)
+      assert((mae - 1) * (mae - 1) <= mse)
+      assert(r.getLong(5) <= 1000000L, "R2 cannot exceed 1")
+      assert(r.getLong(6) >= 0, "MAPE is non-negative")
+    }
+  }
+
+  test("lift/gains: 10 deciles, monotone cumulatives, closed top decile") {
+    val rs = run("q_ml_lift_gains").collect()
+    assert(rs.map(_.getLong(0)).toSeq == (1L to 10L))
+    val n = graft.Tables.embeddings(spark, dir).count()
+    val cumN = rs.map(_.getLong(2))
+    val cumPos = rs.map(_.getLong(3))
+    assert(cumN.zip(cumN.tail).forall { case (a, b) => a <= b })
+    assert(cumPos.zip(cumPos.tail).forall { case (a, b) => a <= b })
+    assert(cumN.last == n, "decile 10 covers the whole population")
+    assert(rs.last.getLong(4) == 1000000L && rs.last.getLong(5) == 1000000L
+      && rs.last.getLong(6) == 1000000L)
+    rs.foreach { r =>
+      // each decile's cut reaches its population fraction
+      assert(r.getLong(2) * 10 >= r.getLong(0) * n)
+    }
+  }
+
+  test("imputer: domain-bounded fills, exact post-imputation mean") {
+    val rs = run("q_ml_imputer").collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val (n, miss) = (r.getLong(1), r.getLong(2))
+      val (fm, fmed, after) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(miss >= 0 && miss < n)
+      assert(fm >= 0 && fm <= 800 && fmed >= 0 && fmed <= 800)
+      assert(fmed % 100 == 0, "median fill is an observed domain value")
+      assert(after >= 0 && after <= 800)
+    }
+  }
+
+  test("corr matrix: 6 pairs, bounded, structural-sum pairs positive") {
+    val rs = run("q_ml_corr_matrix").collect()
+    assert(rs.length == 6)
+    rs.foreach { r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+      assert(r.getLong(2) > 0)
+    }
+    // lines vs cents: order cents is a sum over lines, so more lines
+    // must correlate positively with total cents
+    val lc = rs.find(r => r.getString(0) == "cents" &&
+      r.getString(1) == "lines").orElse(rs.find(r =>
+      r.getString(0) == "lines" && r.getString(1) == "cents")).get
+    assert(lc.getDouble(3) > 0.3)
+  }
+
+  test("tree stump: exact argmin beats both trivial splits") {
+    val rs = run("q_ml_tree_stump").collect()
+    assert(rs.length == 1)
+    val r = rs.head
+    val n = graft.Tables.embeddings(spark, dir).count()
+    assert(r.getLong(1) + r.getLong(3) == n, "sides partition the corpus")
+    assert(r.getLong(1) > 0 && r.getLong(3) > 0)
+    Seq(r.getLong(5), r.getLong(6), r.getLong(7)).foreach { g =>
+      assert(g >= 0 && g <= 500000L, "binary Gini lives in [0, 0.5]")
+    }
+    // the weighted cost can never exceed the worse side's impurity
+    assert(r.getLong(7) <= math.max(r.getLong(5), r.getLong(6)))
+  }
+
+  test("gmm: deterministic, covers corpus, weights form a mixture") {
+    val a = rows("q_ml_gmm")
+    val b = rows("q_ml_gmm")
+    assert(a == b, "seeded fit must be deterministic")
+    val rs = run("q_ml_gmm").collect()
+    assert(rs.length == 5)
+    val n = graft.Tables.embeddings(spark, dir).count()
+    assert(rs.map(_.getLong(1)).sum == n)
+    val wSum = rs.map(_.getDouble(2)).sum
+    assert(math.abs(wSum - 1.0) < 1e-3, s"weights sum to ~1, got $wSum")
+    rs.foreach(r => assert(r.getDouble(2) > 0 && r.getDouble(2) < 1))
+  }
+
+  test("lda: deterministic, 5x3 shape, per-topic weight monotone") {
+    val a = rows("q_ml_lda_topics")
+    val b = rows("q_ml_lda_topics")
+    assert(a == b, "seeded fit must be deterministic")
+    val rs = run("q_ml_lda_topics").collect()
+    assert(rs.length == 15)
+    assert(rs.map(_.getLong(0)).distinct.sorted.toSeq == (0L to 4L))
+    rs.groupBy(_.getLong(0)).foreach { case (_, topicRows) =>
+      val ws = topicRows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ws.forall(_ > 0))
+      assert(ws.zip(ws.tail).forall { case (x, y) => x >= y },
+        "top terms ranked by descending weight")
+      assert(topicRows.map(_.getString(2)).distinct.length == 3,
+        "terms within a topic are distinct")
+    }
+  }
+}
