@@ -54,7 +54,10 @@ object Pipeline18 extends graft.QueryModule {
     * confusion) are the only full-data passes; the vote frame
     * (≤ 16 buckets × |labels|), the prediction map and the confusion
     * matrix (≤ |labels|²) are all broadcast-sized. */
-  def mlConfusionMatrix(s: SparkSession, dir: String): DataFrame = {
+  /** The (actual, pred, n) confusion frame of the plurality-per-bucket
+    * baseline on the odd-vec_id eval fold — shared by the per-class
+    * matrix key and the kappa/MCC agreement key. */
+  private def confusionFrame(s: SparkSession, dir: String): DataFrame = {
     val l = labeled(s, dir)
     val votes = l.where(expr("vec_id % 2 = 0"))
       .groupBy("bucket", "label").agg(count(lit(1)).as("n"))
@@ -67,13 +70,17 @@ object Pipeline18 extends graft.QueryModule {
     val globalPred = votes.groupBy("label").agg(sum("n").as("gn"))
       .orderBy(col("gn").desc, col("label").asc).limit(1)
       .select(col("label").as("gpred"))
-    val conf = l.where(expr("vec_id % 2 = 1"))
+    l.where(expr("vec_id % 2 = 1"))
       .join(broadcast(bucketPred), Seq("bucket"), "left")
       .crossJoin(broadcast(globalPred))
       .select(col("label").as("actual"),
         coalesce(col("bpred"), col("gpred")).as("pred"))
       .groupBy("actual", "pred").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // ≤ |labels|² rows; three consumers below
+      .localCheckpoint() // ≤ |labels|² rows; several consumers
+  }
+
+  def mlConfusionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val conf = confusionFrame(s, dir)
     val act = conf.groupBy("actual").agg(sum("n").as("n_actual"))
     val prd = conf.groupBy("pred")
       .agg(sum("n").as("n_pred"))
@@ -398,7 +405,83 @@ object Pipeline18 extends graft.QueryModule {
       .orderBy("topic", "term_rank")
   }
 
+  /** COHEN'S KAPPA + multiclass MATTHEWS correlation — the chance-
+    * corrected agreement readout of the same confusion frame: with
+    * exact class marginals (n_a·n_p cross-products in decimal(38,0)/
+    * HUGEINT), observed/expected agreement in exact ppm, and
+    * kappa = (n·Σtp − Σn_a·n_p) / (n² − Σn_a·n_p) /
+    * MCC = (n·Σtp − Σn_a·n_p) / (√(n²−Σn_p²)·√(n²−Σn_a²)) each as ONE
+    * IEEE-exact double dag rounded 6 dp (a ratio of EXACT integers —
+    * doubles instead of integer div because kappa/MCC are SIGNED and
+    * Spark div truncates where DuckDB // floors; the q_agg_corr
+    * discipline).
+    *
+    * 100 TB: everything after the two confusion-frame hash aggs runs
+    * on the ≤|labels|² support frame. */
+  def mlKappaMcc(s: SparkSession, dir: String): DataFrame = {
+    val conf = confusionFrame(s, dir)
+    val act = conf.groupBy("actual").agg(sum("n").as("na"))
+    val prd = conf.groupBy("pred").agg(sum("n").as("np"))
+      .select(col("pred").as("actual"), col("np"))
+    val cls = act.join(broadcast(prd), Seq("actual"), "full")
+      .na.fill(0L, Seq("na", "np"))
+    val stp = conf.where(col("actual") === col("pred"))
+      .agg(coalesce(sum("n"), lit(0L)).as("stp"))
+    cls.agg(sum("na").as("n"),
+        sum(expr("cast(na as decimal(19,0)) * np")).as("snanp"),
+        sum(expr("cast(na as decimal(19,0)) * na")).as("sna2"),
+        sum(expr("cast(np as decimal(19,0)) * np")).as("snp2"))
+      .crossJoin(broadcast(stp))
+      .select(col("n"),
+        expr("(1000000 * stp) div n").as("po_ppm"),
+        expr("cast(snanp * 1000000" +
+          " div (cast(n as decimal(38,0)) * n) as bigint)").as("pe_ppm"),
+        expr("round(cast(cast(n as decimal(38,0)) * stp - snanp as double)" +
+          " / cast(cast(n as decimal(38,0)) * n - snanp as double), 6)")
+          .as("kappa"),
+        expr("round(cast(cast(n as decimal(38,0)) * stp - snanp as double)" +
+          " / (sqrt(cast(cast(n as decimal(38,0)) * n - snp2 as double))" +
+          " * sqrt(cast(cast(n as decimal(38,0)) * n - sna2 as double)))," +
+          " 6)").as("mcc"))
+  }
+
+  /** EXACT K-FOLD CROSS-VALIDATION of the group-mean regressor
+    * (CrossValidator semantics for a closed-form model): folds by
+    * o_orderkey % 5 (engine-identical on positive keys), and every
+    * fold's LEAVE-FOLD-OUT train mean comes from ONE pass via the
+    * complement identity pred(p, f) = (Σ_p − Σ_pf) div (n_p − n_pf) —
+    * the (priority, fold) sums frame is 25 rows, so 5-fold CV costs
+    * two scans total, not 5 train+eval passes. Per fold: n, MAE
+    * cents, MSE cents² (decimal(38,0)/HUGEINT sums) — both
+    * non-negative, so floor division agrees across engines.
+    *
+    * 100 TB: one hash agg for the sums frame, one for the metrics;
+    * the 25-row predictor map is broadcast. */
+  def mlKfoldMetrics(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+        expr("o_orderkey % 5").as("fold"))
+    val pf = o.groupBy("priority", "fold")
+      .agg(count(lit(1)).as("n_pf"), sum("cents").as("s_pf"))
+    val tot = pf.groupBy("priority")
+      .agg(sum("n_pf").as("n_p"), sum("s_pf").as("s_p"))
+    val pred = pf.join(broadcast(tot), "priority")
+      .select(col("priority"), col("fold"),
+        expr("(s_p - s_pf) div (n_p - n_pf)").as("pred_cents"))
+    o.join(broadcast(pred), Seq("priority", "fold"))
+      .withColumn("err", col("cents") - col("pred_cents"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_eval"),
+        expr("sum(abs(err)) div count(1)").as("mae_cents"),
+        expr("cast(sum(cast(err as decimal(19,0)) * err) div count(1)" +
+          " as bigint)").as("mse_cents2"))
+      .orderBy("fold")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_kappa_mcc" -> mlKappaMcc,
+    "q_ml_kfold_metrics" -> mlKfoldMetrics,
     "q_ml_confusion_matrix" -> mlConfusionMatrix,
     "q_ml_regression_metrics" -> mlRegressionMetrics,
     "q_ml_lift_gains" -> mlLiftGains,
@@ -426,6 +509,73 @@ object Pipeline18 extends graft.QueryModule {
       |  FROM l GROUP BY score)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_ml_kappa_mcc" ->
+      s"""WITH $scoreCte,
+        |lb AS (SELECT vec_id, label, (score + 8192) // 1024 AS bucket
+        |       FROM l),
+        |votes AS (SELECT bucket, label, CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM lb WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |bp AS (SELECT bucket, label AS bpred FROM (
+        |         SELECT bucket, label, ROW_NUMBER() OVER (
+        |           PARTITION BY bucket ORDER BY n DESC, label ASC) AS rn
+        |         FROM votes) WHERE rn = 1),
+        |gp AS (SELECT label AS gpred FROM (
+        |         SELECT label, SUM(n) AS gn FROM votes GROUP BY label)
+        |       ORDER BY gn DESC, label ASC LIMIT 1),
+        |conf AS (
+        |  SELECT e.label AS actual, COALESCE(bp.bpred, gp.gpred) AS pred,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lb e LEFT JOIN bp ON e.bucket = bp.bucket CROSS JOIN gp
+        |  WHERE e.vec_id % 2 = 1 GROUP BY 1, 2),
+        |act AS (SELECT actual, CAST(SUM(n) AS BIGINT) AS na
+        |        FROM conf GROUP BY 1),
+        |prd AS (SELECT pred AS actual, CAST(SUM(n) AS BIGINT) AS np
+        |        FROM conf GROUP BY 1),
+        |cls AS (SELECT COALESCE(a.na, 0) AS na, COALESCE(p.np, 0) AS np
+        |        FROM act a FULL JOIN prd p USING (actual)),
+        |stp AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS stp
+        |        FROM conf WHERE actual = pred),
+        |m AS (SELECT CAST(SUM(na) AS BIGINT) AS n,
+        |        SUM(CAST(na AS HUGEINT) * np) AS snanp,
+        |        SUM(CAST(na AS HUGEINT) * na) AS sna2,
+        |        SUM(CAST(np AS HUGEINT) * np) AS snp2
+        |      FROM cls)
+        |SELECT n, CAST((1000000 * stp) // n AS BIGINT) AS po_ppm,
+        |  CAST(snanp * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+        |    AS pe_ppm,
+        |  ROUND(CAST(CAST(n AS HUGEINT) * stp - snanp AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * n - snanp AS DOUBLE), 6)
+        |    AS kappa,
+        |  ROUND(CAST(CAST(n AS HUGEINT) * stp - snanp AS DOUBLE)
+        |    / (sqrt(CAST(CAST(n AS HUGEINT) * n - snp2 AS DOUBLE))
+        |     * sqrt(CAST(CAST(n AS HUGEINT) * n - sna2 AS DOUBLE))), 6)
+        |    AS mcc
+        |FROM m CROSS JOIN stp""".stripMargin,
+    "q_ml_kfold_metrics" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 5 AS fold
+        |  FROM orders),
+        |pf AS (SELECT priority, fold, CAST(COUNT(*) AS BIGINT) AS n_pf,
+        |         CAST(SUM(cents) AS BIGINT) AS s_pf
+        |       FROM o GROUP BY 1, 2),
+        |tot AS (SELECT priority, CAST(SUM(n_pf) AS BIGINT) AS n_p,
+        |          CAST(SUM(s_pf) AS BIGINT) AS s_p
+        |        FROM pf GROUP BY 1),
+        |pred AS (SELECT pf.priority, pf.fold,
+        |           CAST((s_p - s_pf) // (n_p - n_pf) AS BIGINT)
+        |             AS pred_cents
+        |         FROM pf JOIN tot USING (priority)),
+        |ev AS (SELECT o.fold, cents - pred_cents AS err
+        |       FROM o JOIN pred
+        |         ON o.priority = pred.priority AND o.fold = pred.fold)
+        |SELECT CAST(fold AS BIGINT) AS fold,
+        |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(SUM(ABS(err)) // COUNT(*) AS BIGINT) AS mae_cents,
+        |  CAST(SUM(CAST(err AS HUGEINT) * err) // COUNT(*) AS BIGINT)
+        |    AS mse_cents2
+        |FROM ev GROUP BY fold ORDER BY fold""".stripMargin,
     "q_ml_confusion_matrix" ->
       s"""WITH $scoreCte,
         |lb AS (SELECT vec_id, label, (score + 8192) // 1024 AS bucket

@@ -107,6 +107,34 @@ class Pipeline18Spec extends AnyFunSuite {
     assert(r.getLong(7) <= math.max(r.getLong(5), r.getLong(6)))
   }
 
+  test("kappa/mcc: agreement identities vs the confusion-matrix key") {
+    val r = run("q_ml_kappa_mcc").collect().head
+    val cm = run("q_ml_confusion_matrix").collect()
+    val n = r.getLong(0)
+    assert(n == cm.map(_.getLong(1)).sum, "same eval fold")
+    val stp = cm.map(_.getLong(3)).sum
+    assert(r.getLong(1) == 1000000L * stp / n, "po is the micro accuracy")
+    val (po, pe) = (r.getLong(1), r.getLong(2))
+    assert(pe > 0 && pe < 1000000L)
+    val (kappa, mcc) = (r.getDouble(3), r.getDouble(4))
+    assert(kappa >= -1.0 && kappa <= 1.0 && mcc >= -1.0 && mcc <= 1.0)
+    // kappa's sign must match the observed-vs-chance margin
+    assert((po >= pe) == (kappa >= 0))
+  }
+
+  test("kfold: complement-identity CV over all folds, disjoint + exhaustive") {
+    val rs = run("q_ml_kfold_metrics").collect()
+    assert(rs.map(_.getLong(0)).toSeq == (0L to 4L))
+    val nOrders = graft.Tables.orders(spark, dir).count()
+    assert(rs.map(_.getLong(1)).sum == nOrders,
+      "folds partition the order stream")
+    rs.foreach { r =>
+      val (mae, mse) = (r.getLong(2), r.getLong(3))
+      assert(mae >= 0 && mse >= 0)
+      assert((mae - 1) * (mae - 1) <= mse, "Cauchy-Schwarz with floor slack")
+    }
+  }
+
   test("gmm: deterministic, covers corpus, weights form a mixture") {
     val a = rows("q_ml_gmm")
     val b = rows("q_ml_gmm")
