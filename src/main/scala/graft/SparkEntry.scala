@@ -39,6 +39,7 @@ object SparkEntry {
     operators.Pipeline16,
     operators.Pipeline17,
     operators.Pipeline18,
+    operators.Pipeline19,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -1027,6 +1027,67 @@ object Ml {
         expr(s"(1000000 * __dcg) div ($idcgCase)").as("ndcg5_ppm"))
   }
 
+  /** EXACT squared-euclidean SILHOUETTE per cluster, in ppm
+    * (ClusteringEvaluator semantics made engine-exact): `vecs` carries
+    * an INTEGER vector column `qCol` (quantize floats first — e.g.
+    * floor(x·127)) and a cluster assignment `clusterCol`. All pairwise
+    * mass comes from moment algebra, never a pair join:
+    * Σ_{y∈c} ‖x−y‖² = n_c·‖x‖² − 2·x·S_c + ssq_c over exact integer
+    * per-cluster moments. a(x) = own-cluster mean (self included,
+    * div n_c — documented), b(x) = min over other clusters of the
+    * FLOORED ppm mean (both engines floor identically, so the argmin
+    * is engine-exact even at rational ties), s(x) = (b−a)/max(a,b) in
+    * ppm with the sign-safe split (negate AFTER a non-negative floor
+    * div — Spark div truncates where DuckDB // floors). Returns one
+    * row per cluster: (cluster, n_points, sum_s_ppm, mean_s_ppm).
+    *
+    * Headroom: n_c·‖x‖²·1e6 forms in decimal(38,0) (int64 wraps past
+    * ~4e12 rows at int8 quantization).
+    *
+    * 100 TB: per-point work is O(d·|clusters|) — the blowup a KMeans
+    * transform pays; moments are ONE posexplode hash agg and the
+    * per-point dots a broadcast join on the d·|clusters| moment
+    * frame. */
+  def silhouettePpm(vecs: DataFrame, idCol: String, qCol: String,
+      clusterCol: String): DataFrame = {
+    val q = vecs.select(col(idCol).as("__sid"),
+        col(clusterCol).cast("long").as("__scl"), col(qCol).as("__sq"))
+      .withColumn("__ssq",
+        expr("aggregate(__sq, 0L, (a, x) -> a + x * x)"))
+    val cm = q.groupBy("__scl")
+      .agg(count(lit(1)).as("n_c"), sum("__ssq").as("ssq_c"))
+      .localCheckpoint() // |clusters| rows
+    val dm = q.select(col("__scl"), posexplode(col("__sq")))
+      .groupBy(col("__scl").as("c2"), col("pos").as("dim"))
+      .agg(sum("col").as("s_cd"))
+      .localCheckpoint() // |clusters|·d rows
+    val dots = q.select(col("__sid"), posexplode(col("__sq")))
+      .join(broadcast(dm), col("pos") === col("dim"))
+      .groupBy(col("__sid"), col("c2"))
+      .agg(sum(expr("col * s_cd")).as("dot"))
+    val d2 = q.select(col("__sid"), col("__scl"), col("__ssq"))
+      .join(dots, "__sid")
+      .join(broadcast(cm.select(col("__scl").as("c2"), col("n_c"),
+        col("ssq_c"))), "c2")
+      .select(col("__sid"), col("__scl"), col("c2"),
+        expr("cast((cast(n_c as decimal(38,0)) * __ssq - 2 * dot" +
+          " + ssq_c) * 1000000 div n_c as bigint)").as("m_ppm"))
+    d2.groupBy("__sid", "__scl")
+      .agg(min(when(col("c2") === col("__scl"), col("m_ppm"))).as("a"),
+        min(when(col("c2") =!= col("__scl"), col("m_ppm"))).as("b"))
+      .select(col("__sid"), col("__scl"),
+        expr("case when a = 0 and b = 0 then 0L" +
+          " when b >= a then ((b - a) * 1000000) div" +
+          "   (case when a > b then a else b end)" +
+          " else -(((a - b) * 1000000) div" +
+          "   (case when a > b then a else b end)) end").as("s_ppm"))
+      .groupBy(col("__scl").as("cluster"))
+      .agg(count(lit(1)).as("n_points"), sum("s_ppm").as("sum_s_ppm"))
+      .select(col("cluster"), col("n_points"), col("sum_s_ppm"),
+        expr("case when sum_s_ppm >= 0 then sum_s_ppm div n_points" +
+          " else -((-sum_s_ppm) div n_points) end").as("mean_s_ppm"))
+  }
+
   /** LEAKAGE-SAFE train/val/test assignment: a doc's split is decided
     * by its near-dup CLUSTER representative, not its own id, so two
     * near-duplicate documents can never land in different splits (the
