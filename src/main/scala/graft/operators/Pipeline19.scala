@@ -81,6 +81,40 @@ object Pipeline19 extends graft.QueryModule {
         col("min_q"), col("max_q"), col("l1"))
       .orderBy("dim")
 
+  /** ROBUST-SCALER fit parameters per dimension (RobustScaler
+    * semantics, exact-integer): per-dim q1/median/q3 of the int8-
+    * quantized values via the weighted-median min-when pattern on the
+    * DOMAIN-bounded (dim, value) grid (≤64·192 rows — quantiles of a
+    * quantized column are exact, no sketch), plus the IQR the scaler
+    * divides by. The median/IQR pair is the outlier-robust sibling of
+    * q_vec_summary's mean/variance — the scaler a pipeline reaches
+    * for when embeddings carry heavy tails.
+    *
+    * 100 TB: one posexplode map-side-partial hash agg to the grid;
+    * the quantile window runs per dim on ≤192 rows. */
+  def vecRobustScaler(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.embeddings(s, dir)
+      .select(posexplode(expr("transform(cast(embedding as array<double>)," +
+        " x -> cast(floor(x * 127.0D) as bigint))")))
+      .groupBy(col("pos").cast("long").as("dim"), col("col").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("dim").orderBy(col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy("dim")
+    g.withColumn("cum", sum("cnt").over(wc))
+      .withColumn("tot", sum("cnt").over(wt))
+      .groupBy("dim")
+      .agg(min(when(expr("cum * 4 >= tot"), col("v"))).as("q1_q"),
+        min(when(expr("cum * 2 >= tot"), col("v"))).as("median_q"),
+        min(when(expr("cum * 4 >= tot * 3"), col("v"))).as("q3_q"))
+      .select(col("dim"), col("q1_q"), col("median_q"), col("q3_q"),
+        (col("q3_q") - col("q1_q")).as("iqr_q"))
+      .orderBy("dim")
+  }
+
   /** MULTILAYER PERCEPTRON classifier wrapper (spark.ml
     * MultilayerPerceptronClassifier — the fourth supervised family
     * beside the tree/linear/bayes wrappers): layers [64, 16, 10] on
@@ -136,6 +170,7 @@ object Pipeline19 extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_silhouette" -> mlSilhouette,
     "q_vec_summary" -> vecSummary,
+    "q_vec_robust_scaler" -> vecRobustScaler,
     "q_ml_mlp_eval" -> mlMlpEval)
 
   def oracleSql: Map[String, String] = Map(
@@ -180,6 +215,30 @@ object Pipeline19 extends graft.QueryModule {
         |    ELSE -((-SUM(s_ppm)) // COUNT(*)) END AS BIGINT)
         |    AS mean_s_ppm
         |FROM sil GROUP BY cl ORDER BY cluster""".stripMargin,
+    "q_vec_robust_scaler" ->
+      """WITH ex AS (
+        |  SELECT d - 1 AS dim,
+        |    CAST(floor(embedding[d] * 127.0) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    unnest(range(1, len(embedding) + 1)) AS t(d)),
+        |g AS (SELECT dim, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM ex GROUP BY 1, 2),
+        |c AS (SELECT dim, v,
+        |        SUM(cnt) OVER (PARTITION BY dim ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum,
+        |        SUM(cnt) OVER (PARTITION BY dim) AS tot
+        |      FROM g),
+        |q AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |        CAST(MIN(CASE WHEN cum * 4 >= tot THEN v END) AS BIGINT)
+        |          AS q1_q,
+        |        CAST(MIN(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT)
+        |          AS median_q,
+        |        CAST(MIN(CASE WHEN cum * 4 >= tot * 3 THEN v END)
+        |          AS BIGINT) AS q3_q
+        |      FROM c GROUP BY dim)
+        |SELECT dim, q1_q, median_q, q3_q, q3_q - q1_q AS iqr_q
+        |FROM q ORDER BY dim""".stripMargin,
     "q_vec_summary" ->
       """WITH ex AS (
         |  SELECT d - 1 AS dim,

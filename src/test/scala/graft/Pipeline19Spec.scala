@@ -91,6 +91,20 @@ class Pipeline19Spec extends AnyFunSuite {
     }
   }
 
+  test("robust scaler: quartile ordering and domain bounds per dim") {
+    val rs = run("q_vec_robust_scaler").collect()
+    assert(rs.length == 64)
+    val summary = run("q_vec_summary").collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    rs.foreach { r =>
+      val (q1, med, q3, iqr) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(q1 <= med && med <= q3 && iqr == q3 - q1)
+      val (mn, mx) = summary(r.getLong(0))
+      assert(q1 >= mn && q3 <= mx, "quartiles inside observed range")
+    }
+  }
+
   test("mlp eval: deterministic refit, fold conservation, above chance") {
     val a = rows("q_ml_mlp_eval")
     val b = rows("q_ml_mlp_eval")
