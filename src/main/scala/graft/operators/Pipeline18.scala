@@ -320,6 +320,62 @@ object Pipeline18 extends graft.QueryModule {
       .limit(1)
   }
 
+  /** AVERAGE PRECISION (step-wise AP, the scalar area under the PR
+    * curve — sklearn's average_precision semantics): over descending-
+    * score thresholds, AP = Σ_t ΔR_t·P_t with ΔR_t = np_t/n_pos and
+    * P_t the inclusive descending precision — all exact integer ppm
+    * (Σ np_t · precision_ppm(t) div n_pos, the nested floor pinned
+    * identically on both engines). The scalar twin of q_ml_pr_curve's
+    * full curve, completing the threshold-free ranking-quality pair
+    * with q_ml_auc.
+    *
+    * 100 TB: the q_ml_auc shape — one map-side-partial hash agg, a
+    * banded cumulative on the ≤16k-score frame, a 1-row readout. */
+  def mlAvgPrecision(s: SparkSession, dir: String): DataFrame = {
+    val g = scoreGroups(s, dir)
+      .withColumn("sh", expr("8192L - score")) // descending-as-ascending
+    val tot = g.agg(sum("np").as("n_pos"), sum("nn").as("n_neg"))
+    graft.api.Dist.bandedCumSum(g, Seq(), "sh", bandWidth = 128L,
+        sumCols = Seq("np", "nn"), inclusive = true)
+      .where(col("np") > 0) // thresholds where recall steps
+      .select(col("np"),
+        expr("(1000000 * cum_np) div (cum_np + cum_nn)").as("p_ppm"))
+      .agg(sum(expr("np * p_ppm")).as("apnum"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_pos"), col("n_neg"),
+        expr("apnum div n_pos").as("ap_ppm"))
+  }
+
+  /** SMOOTHED TARGET ENCODER (the categorical-encode helper a
+    * training pipeline reaches for past one-hot cardinality —
+    * TargetEncoder semantics): per part brand over line revenue
+    * cents, the m-estimate encoding enc = (Σy + m·prior) div (n + m)
+    * with m = 100 and prior = the global mean (floor div, exact —
+    * computed FIRST so every brand shrinks toward the same integer
+    * prior). Emits per brand: n, raw mean, smoothed encoding — the
+    * high-support brands sit near their raw mean, thin ones near the
+    * prior, and the whole map is exact integer cents.
+    *
+    * 100 TB: one co-keyed lineitem⋈part join (the dimension
+    * broadcasts) into a map-side-partial hash agg on the ≤25-brand
+    * frame; the 1-row prior is a broadcast. */
+  def mlTargetEncoder(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val prior = joined.agg(expr("sum(cents) div count(1)").as("prior"))
+    joined.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sy"))
+      .crossJoin(broadcast(prior))
+      .select(col("p_brand"), col("n"),
+        expr("sy div n").as("raw_mean_cents"),
+        expr("(sy + 100 * prior) div (n + 100)").as("enc_cents"),
+        col("prior").as("prior_cents"))
+      .orderBy("p_brand")
+  }
+
   /** Third clustering family: GAUSSIAN MIXTURE (soft EM clustering —
     * the probabilistic sibling of the KMeans/BisectingKMeans
     * wrappers), k = 5, seeded, on the shared embedding feature frame;
@@ -482,6 +538,8 @@ object Pipeline18 extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_kappa_mcc" -> mlKappaMcc,
     "q_ml_kfold_metrics" -> mlKfoldMetrics,
+    "q_ml_avg_precision" -> mlAvgPrecision,
+    "q_ml_target_encoder" -> mlTargetEncoder,
     "q_ml_confusion_matrix" -> mlConfusionMatrix,
     "q_ml_regression_metrics" -> mlRegressionMetrics,
     "q_ml_lift_gains" -> mlLiftGains,
@@ -509,6 +567,39 @@ object Pipeline18 extends graft.QueryModule {
       |  FROM l GROUP BY score)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_ml_avg_precision" ->
+      s"""WITH $scoreCte,
+        |$groupCte,
+        |t AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |             CAST(SUM(nn) AS BIGINT) AS n_neg FROM g),
+        |c AS (SELECT score, np,
+        |        SUM(np) OVER (ORDER BY score DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum_np,
+        |        SUM(nn) OVER (ORDER BY score DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum_nn
+        |      FROM g),
+        |steps AS (SELECT np,
+        |    (1000000 * cum_np) // (cum_np + cum_nn) AS p_ppm
+        |  FROM c WHERE np > 0)
+        |SELECT t.n_pos, t.n_neg,
+        |  CAST(SUM(np * p_ppm) // t.n_pos AS BIGINT) AS ap_ppm
+        |FROM steps CROSS JOIN t GROUP BY t.n_pos, t.n_neg""".stripMargin,
+    "q_ml_target_encoder" ->
+      """WITH j AS (
+        |  SELECT p_brand,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pr AS (SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS prior
+        |       FROM j)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS raw_mean_cents,
+        |  CAST((SUM(cents) + 100 * prior) // (COUNT(*) + 100) AS BIGINT)
+        |    AS enc_cents,
+        |  prior AS prior_cents
+        |FROM j CROSS JOIN pr GROUP BY p_brand, prior
+        |ORDER BY p_brand""".stripMargin,
     "q_ml_kappa_mcc" ->
       s"""WITH $scoreCte,
         |lb AS (SELECT vec_id, label, (score + 8192) // 1024 AS bucket

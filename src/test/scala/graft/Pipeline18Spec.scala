@@ -135,6 +135,34 @@ class Pipeline18Spec extends AnyFunSuite {
     }
   }
 
+  test("avg precision: consistent with the PR curve's exact points") {
+    val ap = run("q_ml_avg_precision").collect().head
+    assert(ap.getLong(0) > 0 && ap.getLong(1) > 0)
+    val apPpm = ap.getLong(2)
+    assert(apPpm >= 0 && apPpm <= 1000000L)
+    // AP is a precision average weighted by recall steps: it must lie
+    // within the PR curve's [min, max] precision envelope
+    val pr = run("q_ml_pr_curve").collect()
+    val precs = pr.map(_.getLong(3))
+    assert(apPpm >= precs.min && apPpm <= precs.max)
+  }
+
+  test("target encoder: shrinkage between raw mean and prior") {
+    val rs = run("q_ml_target_encoder").collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val (n, raw, enc, prior) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n > 0)
+      // m-estimate lands between the raw mean and the prior
+      // (floor-div slack 1 on each side)
+      assert(enc >= math.min(raw, prior) - 1 &&
+        enc <= math.max(raw, prior) + 1)
+      // heavier support pulls the encoding toward the raw mean
+      if (n > 10000) assert(math.abs(enc - raw) <= math.abs(enc - prior))
+    }
+  }
+
   test("gmm: deterministic, covers corpus, weights form a mixture") {
     val a = rows("q_ml_gmm")
     val b = rows("q_ml_gmm")
