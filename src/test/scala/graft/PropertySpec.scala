@@ -258,4 +258,73 @@ object PropertySpec extends Properties("graft.arithmetic") {
       pre.head == w.head &&
       pre.zip(pre.tail).zip(w.tail).forall { case ((a, b), wi) => b - a == wi }
   }
+
+  // The r10 sign-safe division split used by kappa/silhouette/vec
+  // means: `case when s >= 0 then s div n else -((-s) div n) end`.
+  // With non-negative operands Spark `div` and DuckDB `//` agree
+  // (both floor = truncate there), so the split implements EXACT
+  // truncation-toward-zero for signed numerators on BOTH engines —
+  // this property pins that it equals JVM integer division.
+  property("sign-safe floor-div split equals truncating division") =
+    forAll(Gen.chooseNum(-1000000L, 1000000L), Gen.chooseNum(1L, 9999L)) {
+      (s, n) =>
+      val split = if (s >= 0) s / n else -((-s) / n)
+      split == s / n
+    }
+
+  // Silhouette moment identity: Σ_{y∈C} ||x−y||² over a finite set
+  // equals |C|·||x||² − 2·x·S + Σ||y||² — the algebra that lets the
+  // evaluator run without a pairwise join (api.Ml.silhouettePpm).
+  private val vecGen: Gen[List[Long]] =
+    Gen.listOfN(4, Gen.chooseNum(-64L, 63L))
+  property("silhouette moment identity: pair sum == moment form") =
+    forAll(vecGen, Gen.nonEmptyListOf(vecGen)) { (x, cluster) =>
+      val pairSum = cluster.map(y =>
+        x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum).sum
+      val n = cluster.length.toLong
+      val normX = x.map(v => v * v).sum
+      val s = x.indices.map(i => cluster.map(_(i)).sum)
+      val dot = x.zip(s).map { case (a, b) => a * b }.sum
+      val ssq = cluster.map(_.map(v => v * v).sum).sum
+      pairSum == n * normX - 2 * dot + ssq
+    }
+
+  // k-fold complement identity: the leave-fold-out mean computed from
+  // the totals frame equals the mean computed directly over the other
+  // folds' rows (q_ml_kfold_metrics' two-scan trick).
+  property("kfold complement identity: totals-derived LOO mean is exact") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 4L),
+        Gen.chooseNum(0L, 1000000L)))) { rows =>
+      val folds = rows.map(_._1).distinct
+      folds.size < 2 || folds.forall { f =>
+        val others = rows.filterNot(_._1 == f).map(_._2)
+        val (tot, n) = (rows.map(_._2).sum, rows.length.toLong)
+        val (ft, fn) = (rows.filter(_._1 == f).map(_._2).sum,
+          rows.count(_._1 == f).toLong)
+        (tot - ft) / (n - fn) == others.sum / others.length
+      }
+    }
+
+  // Cohen's kappa core: with exact integer moments, the sign of
+  // n·Σtp − Σ(n_a·n_p) matches the sign of po − pe and the ratio is
+  // bounded by 1 (kappa ≤ 1 with equality iff diagonal-perfect).
+  private val confGen: Gen[List[((Long, Long), Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(
+      Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 4L)),
+      Gen.chooseNum(1L, 100L)))
+  property("kappa moments: bounded by 1, sign matches po-pe margin") =
+    forAll(confGen) { cells0 =>
+      val cells = cells0.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toMap
+      val n = cells.values.sum
+      val na = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val np = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      val stp = cells.collect { case ((a, p), c) if a == p => c }.sum
+      val snanp = (na.keySet ++ np.keySet).toList.map(k =>
+        na.getOrElse(k, 0L) * np.getOrElse(k, 0L)).sum
+      val num = n * stp - snanp     // ∝ po − pe
+      val den = n * n - snanp       // > 0 unless degenerate
+      den <= 0 || (num <= den &&
+        ((num >= 0) == (stp * n * n >= snanp * n)))
+    }
 }
