@@ -100,19 +100,36 @@ object Pipeline10 extends graft.QueryModule {
     * 100 TB: spark.ml trees aggregate per-node sufficient statistics
     * tree-wise (state ~ nodes x features x bins, independent of row
     * count); only transform touches every row. */
+  /** Memoized seeded RF fit — shared by the confusion evaluator and
+    * the feature-importance readout (Pipeline19), the kmTargetMemo
+    * pattern: deterministic, so sharing cannot change any output. */
+  private val rfMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.ml.classification.RandomForestClassificationModel]()
+
+  private[operators] def rfModel(s: SparkSession,
+      dir: String): org.apache.spark.ml.classification.RandomForestClassificationModel =
+    rfMemo.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir,
+      _ => {
+        import org.apache.spark.ml.classification.RandomForestClassifier
+        val km = VectorOps.sharedKmeansTarget(s, dir)
+        // the fit rescans train once per tree-depth level unless
+        // cached; the fit is eager, so unpersist right after it (the
+        // LR evaluator's pattern).
+        val train = graft.api.Ml
+          .exceptFold(VectorOps.sharedRawFeats(s, dir), "vec_id", 5, 0)
+          .persist()
+        try new RandomForestClassifier().setNumTrees(20).setMaxDepth(6)
+          .setSeed(42L).setLabelCol("t").setFeaturesCol("raw")
+          .fit(km.transform(train)
+            .withColumn("t", col("target").cast("double")))
+        finally train.unpersist(false)
+      })
+
   def mlRfEval(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.classification.RandomForestClassifier
     val km = VectorOps.sharedKmeansTarget(s, dir)
     val feats = VectorOps.sharedRawFeats(s, dir)
-    // the fit rescans train once per tree-depth level unless cached;
-    // the fit is eager, so unpersist right after it (the LR evaluator's
-    // pattern).
-    val train = graft.api.Ml.exceptFold(feats, "vec_id", 5, 0).persist()
-    val rf = try {
-      new RandomForestClassifier().setNumTrees(20).setMaxDepth(6)
-        .setSeed(42L).setLabelCol("t").setFeaturesCol("raw")
-        .fit(km.transform(train).withColumn("t", col("target").cast("double")))
-    } finally train.unpersist(false)
+    val rf = rfModel(s, dir)
     val test = graft.api.Ml.fold(feats, "vec_id", 5, 0)
     val scored = rf
       .transform(km.transform(test).withColumn("t", col("target").cast("double")))

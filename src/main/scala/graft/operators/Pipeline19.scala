@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -167,13 +168,99 @@ object Pipeline19 extends graft.QueryModule {
             " x -> cast(floor(x * 127.0D) as bigint))").as("q")),
         "vec_id")
 
+  /** DETERMINISTIC MULTIPLIER-BOOTSTRAP confidence interval for the
+    * mean (the uncertainty readout every point-estimate dashboard
+    * lacks): 32 replicates where row k's weight in replicate b is the
+    * fixed map [0,1,1,1,1,2] indexed by the LCG hash
+    * ((k·1103515245 + 12345 + b·2654435761) % 1000000007) % 6 — mean
+    * weight exactly 1, engine-identical integers (operands bounded
+    * ~1.7e15, no wrap), reproducible on any engine or rerun (the
+    * repo-wide seeded-hash discipline; a Poisson bootstrap would need
+    * engine RNG). Per-replicate weighted means floor-divide exactly;
+    * the CI is the 2nd..31st order statistic of the 32 replicate
+    * means (a ~94% interval by the usual bootstrap percentile logic,
+    * here EXACT given the deterministic replicates).
+    *
+    * 100 TB: the 32× fan-out happens map-side into a 32-key partial
+    * agg — no row-scale shuffle; the order-statistic window runs on
+    * 32 rows. */
+  def mlBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val reps = s.range(0, 32).select(col("id").as("b"))
+    val means = o.crossJoin(broadcast(reps))
+      .select(col("b"), col("cents"),
+        expr("case (k * 1103515245 + 12345 + b * 2654435761)" +
+          " % 1000000007 % 6 when 0 then 0L when 5 then 2L" +
+          " else 1L end").as("w"))
+      .groupBy("b")
+      .agg(expr("sum(w * cents) div sum(w)").as("m"))
+    val wr = Window.partitionBy(lit(1))
+      .orderBy(col("m").asc, col("b").asc)
+    val ranked = means.withColumn("rn", row_number().over(wr))
+    val tot = o.agg(count(lit(1)).as("n"),
+      expr("sum(cents) div count(1)").as("point_mean_cents"))
+    tot.crossJoin(broadcast(
+        ranked.where(col("rn") === 2).select(col("m").as("ci_lo_cents"))))
+      .crossJoin(broadcast(
+        ranked.where(col("rn") === 31).select(col("m").as("ci_hi_cents"))))
+      .select(col("n"), col("point_mean_cents"), col("ci_lo_cents"),
+        col("ci_hi_cents"), lit(32L).as("n_replicates"))
+  }
+
+  /** RF FEATURE IMPORTANCES readout (the explainability half of the
+    * q_ml_rf_eval wrapper, from the SAME memoized seeded fit): top-8
+    * embedding dims by Gini importance, (importance desc, dim asc),
+    * 6 dp. NO oracle (seeded ensemble internals); Pipeline19Spec pins
+    * determinism, the 8-row shape, normalization (importances sum
+    * ≤ 1) and ordering. */
+  def mlRfImportance(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val imp = Pipeline10.rfModel(s, dir).featureImportances
+    imp.toArray.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+      .sortBy { case (i, v) => (-v, i) }.take(8).zipWithIndex
+      .map { case ((i, v), r) =>
+        (r.toLong + 1, i, math.rint(v * 1e6) / 1e6) }
+      .toDF("rank", "dim", "importance")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_bootstrap_ci" -> mlBootstrapCi,
+    "q_ml_rf_importance" -> mlRfImportance,
     "q_ml_silhouette" -> mlSilhouette,
     "q_vec_summary" -> vecSummary,
     "q_vec_robust_scaler" -> vecRobustScaler,
     "q_ml_mlp_eval" -> mlMlpEval)
 
   def oracleSql: Map[String, String] = Map(
+    "q_ml_bootstrap_ci" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |reps AS (SELECT unnest(range(0, 32)) AS b),
+        |means AS (
+        |  SELECT b,
+        |    CAST(SUM(w * cents) // SUM(w) AS BIGINT) AS m
+        |  FROM (SELECT b, cents,
+        |          CASE (k * 1103515245 + 12345 + b * 2654435761)
+        |            % 1000000007 % 6 WHEN 0 THEN 0 WHEN 5 THEN 2
+        |            ELSE 1 END AS w
+        |        FROM o CROSS JOIN reps)
+        |  GROUP BY b),
+        |ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m ASC, b ASC)
+        |             AS rn FROM means),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(cents) // COUNT(*) AS BIGINT)
+        |            AS point_mean_cents FROM o)
+        |SELECT n, point_mean_cents,
+        |  (SELECT m FROM ranked WHERE rn = 2) AS ci_lo_cents,
+        |  (SELECT m FROM ranked WHERE rn = 31) AS ci_hi_cents,
+        |  CAST(32 AS BIGINT) AS n_replicates
+        |FROM tot""".stripMargin,
     "q_ml_silhouette" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS cl,

@@ -116,9 +116,36 @@ object StreamOps extends graft.QueryModule {
         expr("max_by(event_type, struct(ts, event_id))").as("cur_type"),
         expr("max_by(value, struct(ts, event_id))").as("cur_value"))
 
+  /** Streaming DRIFT monitor: per (1 h tumbling window, event_type),
+    * the exact L1 deviation of the value-bucket histogram from the
+    * FIXED uniform reference, in ppm — the PSI-style distribution gate
+    * a feature pipeline raises alerts from, with the reference a
+    * literal (a streamable monitor cannot reference the full-history
+    * distribution; a fixed expectation is the deployment shape).
+    * Buckets are floor(value/10) capped at 9 (10 fixed cells), the
+    * histogram is a fixed-width pivot inside ONE windowed agg —
+    * streamable, with bounded per-key state — and
+    * l1 = Σ_b |10·c_b − n| · 100000 div n is exact integer ppm of
+    * Σ|p_b − 0.1| (no abs-of-negative division anywhere).
+    *
+    * 100 TB: one map-side-partial windowed hash agg; state per
+    * (window, type) key is 11 integers. */
+  def drift(events: DataFrame): DataFrame = {
+    val cells = (0L to 9L).map(i =>
+      sum(when(expr(s"least(cast(floor(value / 10.0D) as bigint), 9L)" +
+        s" = $i"), 1L).otherwise(0L)).as(s"c$i"))
+    val l1 = (0L to 9L).map(i => s"abs(10 * c$i - n)").mkString(" + ")
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), cells: _*)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), expr(s"(($l1) * 100000) div n").as("l1_uniform_ppm"))
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_drift" -> ((s, d) => drift(ev(s, d))
+      .orderBy("window_start", "event_type")),
     "q_stream_tumbling" -> ((s, d) => tumbling(ev(s, d))
       .orderBy("window_start", "event_type")),
     "q_stream_sliding" -> ((s, d) => sliding(ev(s, d))
@@ -135,6 +162,32 @@ object StreamOps extends graft.QueryModule {
       .orderBy("user_id")))
 
   def oracleSql: Map[String, String] = Map(
+    "q_stream_drift" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    LEAST(CAST(floor(value / 10.0) AS BIGINT), 9) AS bkt
+        |  FROM events),
+        |h AS (
+        |  SELECT window_start, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN bkt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN bkt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN bkt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN bkt = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(SUM(CASE WHEN bkt = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |    CAST(SUM(CASE WHEN bkt = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+        |    CAST(SUM(CASE WHEN bkt = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+        |    CAST(SUM(CASE WHEN bkt = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7,
+        |    CAST(SUM(CASE WHEN bkt = 8 THEN 1 ELSE 0 END) AS BIGINT) AS c8,
+        |    CAST(SUM(CASE WHEN bkt = 9 THEN 1 ELSE 0 END) AS BIGINT) AS c9
+        |  FROM b GROUP BY 1, 2)
+        |SELECT window_start, event_type, n,
+        |  CAST(((ABS(10 * c0 - n) + ABS(10 * c1 - n) + ABS(10 * c2 - n)
+        |    + ABS(10 * c3 - n) + ABS(10 * c4 - n) + ABS(10 * c5 - n)
+        |    + ABS(10 * c6 - n) + ABS(10 * c7 - n) + ABS(10 * c8 - n)
+        |    + ABS(10 * c9 - n)) * 100000) // n AS BIGINT)
+        |    AS l1_uniform_ppm
+        |FROM h ORDER BY window_start, event_type""".stripMargin,
     "q_stream_upsert" ->
       """WITH ranked AS (
         |  SELECT user_id, ts, event_id, event_type, value,

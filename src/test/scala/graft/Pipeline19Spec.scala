@@ -91,6 +91,31 @@ class Pipeline19Spec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap ci: brackets the point estimate, ordered bounds") {
+    val r = run("q_ml_bootstrap_ci").collect().head
+    val (n, point, lo, hi, reps) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n == graft.Tables.orders(spark, dir).count())
+    assert(reps == 32)
+    assert(lo <= hi)
+    assert(lo <= point && point <= hi,
+      s"point $point outside [$lo, $hi]")
+    // unit-mean multiplier weights: interval stays near the point
+    assert(hi - lo < point / 2, "CI width sanity bound")
+  }
+
+  test("rf importance: deterministic, ranked, normalized") {
+    val a = rows("q_ml_rf_importance")
+    val b = rows("q_ml_rf_importance")
+    assert(a == b, "memoized seeded fit must be deterministic")
+    val rs = run("q_ml_rf_importance").collect()
+    assert(rs.length == 8)
+    assert(rs.map(_.getLong(0)).toSeq == (1L to 8L))
+    val imps = rs.sortBy(_.getLong(0)).map(_.getDouble(2))
+    assert(imps.zip(imps.tail).forall { case (x, y) => x >= y })
+    assert(imps.forall(v => v >= 0 && v <= 1.0) && imps.sum <= 1.0 + 1e-6)
+  }
+
   test("robust scaler: quartile ordering and domain bounds per dim") {
     val rs = run("q_vec_robust_scaler").collect()
     assert(rs.length == 64)

@@ -89,6 +89,13 @@ class StreamingSpec extends AnyFunSuite {
     assertSame(throughStream("t_tumbling", data, streaming.StreamOps.tumbling), batch)
   }
 
+  test("drift monitor: stream == batch on complete data") {
+    val data = eventsSample()
+    val batch = streaming.StreamOps.drift(Tables.events(spark, dir))
+    assertSame(throughStream("t_drift", data, streaming.StreamOps.drift),
+      batch)
+  }
+
   test("sliding window: stream == batch on complete data") {
     val data = eventsSample()
     val batch = streaming.StreamOps.sliding(Tables.events(spark, dir))
