@@ -227,7 +227,47 @@ object Pipeline19 extends graft.QueryModule {
       .toDF("rank", "dim", "importance")
   }
 
+  /** MODEL PERSISTENCE round-trip (MLWritable/MLReadable — the
+    * deploy-side helper every batch-train/online-serve pipeline needs,
+    * the model-side sibling of the q_source_* data round-trips): save
+    * the shared seeded KMeans fit with the native ML writer, load it
+    * back in the same session, and emit the RELOADED model's
+    * per-cluster sizes beside a per-cluster agreement check against
+    * the in-memory original. Write-once per (session, sfDir) like the
+    * source round-trips, so the timed path measures load + transform,
+    * not the one-time serialization. NO oracle (the assignment is the
+    * seeded fit's); Pipeline19Spec pins reloaded == original on every
+    * vector and k rows out.
+    *
+    * 100 TB: model files are O(k·d) regardless of corpus size; only
+    * the two transforms touch rows. */
+  def mlModelPersist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeansModel
+    val path = s"/tmp/graft-models/${s.sparkContext.applicationId}/" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
+      "/kmeans"
+    val orig = VectorOps.sharedKmeansTarget(s, dir)
+    if (!new java.io.File(path).exists())
+      orig.write.overwrite().save(path)
+    val reloaded = KMeansModel.load(path)
+    val feats = VectorOps.sharedRawFeats(s, dir)
+    val a = orig.transform(feats).select(col("vec_id"),
+      col("target").cast("long").as("c_orig"))
+    val b = reloaded.setPredictionCol("c_re").transform(feats)
+      .select(col("vec_id"), col("c_re").cast("long").as("c_re"))
+    a.join(b, "vec_id")
+      .groupBy(col("c_re").as("cluster"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(when(col("c_orig") === col("c_re"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("cluster"), col("cluster_size"),
+        (col("cluster_size") === col("n_agree")).as("reload_exact"))
+      .orderBy("cluster")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_model_persist" -> mlModelPersist,
     "q_ml_bootstrap_ci" -> mlBootstrapCi,
     "q_ml_rf_importance" -> mlRfImportance,
     "q_ml_silhouette" -> mlSilhouette,

@@ -91,6 +91,17 @@ class Pipeline19Spec extends AnyFunSuite {
     }
   }
 
+  test("model persist: reloaded model agrees with the original everywhere") {
+    val rs = run("q_ml_model_persist").collect()
+    assert(rs.length == 10, "k clusters out of the reloaded model")
+    assert(rs.forall(_.getBoolean(2)),
+      "every cluster must agree exactly after the save/load round-trip")
+    val n = graft.Tables.embeddings(spark, dir).count()
+    assert(rs.map(_.getLong(1)).sum == n)
+    // idempotent: the write-once guard keeps a second call identical
+    assert(rows("q_ml_model_persist") == rows("q_ml_model_persist"))
+  }
+
   test("bootstrap ci: brackets the point estimate, ordered bounds") {
     val r = run("q_ml_bootstrap_ci").collect().head
     val (n, point, lo, hi, reps) = (r.getLong(0), r.getLong(1),
