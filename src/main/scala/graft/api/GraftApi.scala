@@ -1027,6 +1027,152 @@ object Ml {
         expr(s"(1000000 * __dcg) div ($idcgCase)").as("ndcg5_ppm"))
   }
 
+  /** Per-class CONFUSION-MATRIX metrics in exact ppm
+    * (MulticlassClassificationEvaluator semantics) over any row-level
+    * (actual, pred) frame: per ACTUAL class — support, predicted
+    * count, true positives, precision/recall ppm and
+    * F1 = 2·TP div (n_pred + n_actual) (pure rationals, no doubles).
+    * Rows are keyed by actual class; a class predicted but never
+    * actual contributes to other rows' n_pred only (documented).
+    *
+    * 100 TB: ONE map-side-partial hash agg to the ≤|classes|²
+    * confusion frame; everything after is support arithmetic. */
+  def confusionMatrixPpm(df: DataFrame, actualCol: String,
+      predCol: String): DataFrame = {
+    val conf = df.groupBy(col(actualCol).as("__cma"),
+        col(predCol).as("__cmp"))
+      .agg(count(lit(1)).as("__cmn"))
+      .localCheckpoint() // ≤ |classes|² rows; three consumers
+    val act = conf.groupBy("__cma").agg(sum("__cmn").as("n_actual"))
+    val prd = conf.groupBy("__cmp").agg(sum("__cmn").as("n_pred"))
+      .select(col("__cmp").as("__cma"), col("n_pred"))
+    val tp = conf.where(col("__cma") === col("__cmp"))
+      .select(col("__cma"), col("__cmn").as("tp"))
+    act.join(broadcast(prd), Seq("__cma"), "left")
+      .join(broadcast(tp), Seq("__cma"), "left")
+      .na.fill(0L, Seq("n_pred", "tp"))
+      .select(col("__cma").as("class"), col("n_actual"), col("n_pred"),
+        col("tp"),
+        expr("case when n_pred = 0 then 0L" +
+          " else (1000000 * tp) div n_pred end").as("precision_ppm"),
+        expr("(1000000 * tp) div n_actual").as("recall_ppm"),
+        expr("(2000000 * tp) div (n_pred + n_actual)").as("f1_ppm"))
+  }
+
+  /** COHEN'S KAPPA + multiclass MATTHEWS correlation over any
+    * row-level (actual, pred) frame — chance-corrected agreement from
+    * exact integer moments (n_a·n_p products in decimal(38,0)); the
+    * two SIGNED ratios are single IEEE double dags rounded 6 dp
+    * (Spark div truncates where DuckDB // floors, so signed numerators
+    * never reach an integer division). One row out:
+    * (n, po_ppm, pe_ppm, kappa, mcc). */
+  def kappaMcc(df: DataFrame, actualCol: String,
+      predCol: String): DataFrame = {
+    val conf = df.groupBy(col(actualCol).as("__cma"),
+        col(predCol).as("__cmp"))
+      .agg(count(lit(1)).as("__cmn"))
+      .localCheckpoint()
+    val act = conf.groupBy("__cma").agg(sum("__cmn").as("na"))
+    val prd = conf.groupBy("__cmp").agg(sum("__cmn").as("np"))
+      .select(col("__cmp").as("__cma"), col("np"))
+    val cls = act.join(broadcast(prd), Seq("__cma"), "full")
+      .na.fill(0L, Seq("na", "np"))
+    val stp = conf.where(col("__cma") === col("__cmp"))
+      .agg(coalesce(sum("__cmn"), lit(0L)).as("stp"))
+    cls.agg(sum("na").as("n"),
+        sum(expr("cast(na as decimal(19,0)) * np")).as("snanp"),
+        sum(expr("cast(na as decimal(19,0)) * na")).as("sna2"),
+        sum(expr("cast(np as decimal(19,0)) * np")).as("snp2"))
+      .crossJoin(broadcast(stp))
+      .select(col("n"),
+        expr("(1000000 * stp) div n").as("po_ppm"),
+        expr("cast(snanp * 1000000" +
+          " div (cast(n as decimal(38,0)) * n) as bigint)").as("pe_ppm"),
+        expr("round(cast(cast(n as decimal(38,0)) * stp - snanp as double)" +
+          " / cast(cast(n as decimal(38,0)) * n - snanp as double), 6)")
+          .as("kappa"),
+        expr("round(cast(cast(n as decimal(38,0)) * stp - snanp as double)" +
+          " / (sqrt(cast(cast(n as decimal(38,0)) * n - snp2 as double))" +
+          " * sqrt(cast(cast(n as decimal(38,0)) * n - sna2 as double)))," +
+          " 6)").as("mcc"))
+  }
+
+  /** CUMULATIVE GAINS / LIFT at population deciles over any
+    * (score, pos) frame, exact ppm: descending-score banded
+    * cumulative (Dist.bandedCumSum — no global sort), decile cuts by
+    * the weighted-median min-when pattern, capture/share/lift as the
+    * fixed ppm floor-div dag. `scoreShift` must satisfy
+    * scoreShift − score ≥ 0 for every row (integer div is not
+    * monotone across negatives — same contract as Dist). */
+  def liftGains(df: DataFrame, scoreCol: String, posCol: String,
+      scoreShift: Long, bandWidth: Long = 128L): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("__lgs"))
+      .agg(sum(when(col(posCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(posCol), 0L).otherwise(1L)).as("nn"))
+      .withColumn("__lgh", lit(scoreShift) - col("__lgs"))
+    val tot = g.agg(sum("np").as("n_pos"),
+      (sum("np") + sum("nn")).as("n"))
+    val c = Dist.bandedCumSum(g, Seq(), "__lgh", bandWidth,
+        sumCols = Seq("np", "nn"), inclusive = true)
+      .crossJoin(broadcast(tot))
+      .select(col("__lgs"), col("__lgh"),
+        (col("cum_np") + col("cum_nn")).as("cum_n"),
+        col("cum_np"), col("n"), col("n_pos"))
+      .localCheckpoint() // support frame; probed once per decile
+    val deciles = df.sparkSession.range(1, 11)
+      .select(col("id").as("decile"))
+    val cuts = c.crossJoin(broadcast(deciles))
+      .where(col("cum_n") * 10 >= col("decile") * col("n"))
+      .groupBy("decile").agg(min("__lgh").as("__lgh"))
+    cuts.join(c, "__lgh")
+      .select(col("decile"), col("__lgs").as("threshold_score"),
+        col("cum_n"), col("cum_np").as("cum_pos"),
+        expr("(1000000 * cum_np) div n_pos").as("capture_ppm"),
+        expr("(1000000 * cum_n) div n").as("share_ppm"),
+        expr("((1000000 * cum_np) div n_pos) * 1000000" +
+          " div ((1000000 * cum_n) div n)").as("lift_ppm"))
+  }
+
+  /** EXACT DECISION STUMP over any (score, pos) frame: weighted-Gini
+    * argmin over every distinct threshold "score ≤ t", impurities as
+    * pure rationals in ppm (decimal(38,0) products), argmin =
+    * TakeOrdered(1) on (cost asc, score asc). Same `scoreShift`
+    * contract as [[liftGains]]. One row out. */
+  def decisionStump(df: DataFrame, scoreCol: String, posCol: String,
+      scoreShift: Long, bandWidth: Long = 128L): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("__dss"))
+      .agg(sum(when(col(posCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(posCol), 0L).otherwise(1L)).as("nn"))
+      .withColumn("__dsh", col("__dss") + lit(scoreShift))
+    val tot = g.agg(sum("np").as("n_pos"),
+      (sum("np") + sum("nn")).as("n"))
+    def gini(p: String, q: String): String =
+      s"1000000 - cast((cast($p as decimal(38,0)) * $p" +
+        s" + cast($q as decimal(38,0)) * $q) * 1000000" +
+        s" div (cast($p + $q as decimal(38,0)) * ($p + $q)) as bigint)"
+    Dist.bandedCumSum(g, Seq(), "__dsh", bandWidth,
+        sumCols = Seq("np", "nn"), inclusive = true)
+      .crossJoin(broadcast(tot))
+      .select(col("__dss"),
+        col("cum_np").as("pl"), col("cum_nn").as("ql"),
+        (col("n_pos") - col("cum_np")).as("pr"),
+        (col("n") - col("n_pos") - col("cum_nn")).as("qr"),
+        col("n"))
+      .where(col("pl") + col("ql") < col("n"))
+      .select(col("__dss"), (col("pl") + col("ql")).as("n_left"),
+        col("pl").as("pos_left"),
+        (col("pr") + col("qr")).as("n_right"), col("pr").as("pos_right"),
+        expr(gini("pl", "ql")).as("gini_left_ppm"),
+        expr(gini("pr", "qr")).as("gini_right_ppm"), col("n"))
+      .select(col("__dss").as("split_score"), col("n_left"),
+        col("pos_left"), col("n_right"), col("pos_right"),
+        col("gini_left_ppm"), col("gini_right_ppm"),
+        expr("(n_left * gini_left_ppm + n_right * gini_right_ppm)" +
+          " div n").as("weighted_gini_ppm"))
+      .orderBy(col("weighted_gini_ppm").asc, col("split_score").asc)
+      .limit(1)
+  }
+
   /** EXACT squared-euclidean SILHOUETTE per cluster, in ppm
     * (ClusteringEvaluator semantics made engine-exact): `vecs` carries
     * an INTEGER vector column `qCol` (quantize floats first — e.g.

@@ -54,10 +54,12 @@ object Pipeline18 extends graft.QueryModule {
     * confusion) are the only full-data passes; the vote frame
     * (≤ 16 buckets × |labels|), the prediction map and the confusion
     * matrix (≤ |labels|²) are all broadcast-sized. */
-  /** The (actual, pred, n) confusion frame of the plurality-per-bucket
-    * baseline on the odd-vec_id eval fold — shared by the per-class
-    * matrix key and the kappa/MCC agreement key. */
-  private def confusionFrame(s: SparkSession, dir: String): DataFrame = {
+  /** Row-level (actual, pred) predictions of the plurality-per-bucket
+    * baseline on the odd-vec_id eval fold — the fixture-binding half
+    * shared by the per-class matrix key and the kappa/MCC key; the
+    * metric arithmetic itself lives in api.Ml (the user-facing
+    * surface any model's prediction frame plugs into). */
+  private def predFrame(s: SparkSession, dir: String): DataFrame = {
     val l = labeled(s, dir)
     val votes = l.where(expr("vec_id % 2 = 0"))
       .groupBy("bucket", "label").agg(count(lit(1)).as("n"))
@@ -75,30 +77,12 @@ object Pipeline18 extends graft.QueryModule {
       .crossJoin(broadcast(globalPred))
       .select(col("label").as("actual"),
         coalesce(col("bpred"), col("gpred")).as("pred"))
-      .groupBy("actual", "pred").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // ≤ |labels|² rows; several consumers
+      .localCheckpoint() // eval-fold rows; two metric consumers
   }
 
-  def mlConfusionMatrix(s: SparkSession, dir: String): DataFrame = {
-    val conf = confusionFrame(s, dir)
-    val act = conf.groupBy("actual").agg(sum("n").as("n_actual"))
-    val prd = conf.groupBy("pred")
-      .agg(sum("n").as("n_pred"))
-      .select(col("pred").as("actual"), col("n_pred"))
-    val tp = conf.where(col("actual") === col("pred"))
-      .select(col("actual"), col("n").as("tp"))
-    act
-      .join(broadcast(prd), Seq("actual"), "left")
-      .join(broadcast(tp), Seq("actual"), "left")
-      .na.fill(0L, Seq("n_pred", "tp"))
-      .select(col("actual").as("class"), col("n_actual"), col("n_pred"),
-        col("tp"),
-        expr("case when n_pred = 0 then 0L" +
-          " else (1000000 * tp) div n_pred end").as("precision_ppm"),
-        expr("(1000000 * tp) div n_actual").as("recall_ppm"),
-        expr("(2000000 * tp) div (n_pred + n_actual)").as("f1_ppm"))
+  def mlConfusionMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.api.Ml.confusionMatrixPpm(predFrame(s, dir), "actual", "pred")
       .orderBy("class")
-  }
 
   /** REGRESSION METRICS (RegressionEvaluator semantics — MAE, MSE,
     * R², MAPE — exact-integer): the predictor under eval is the
@@ -167,31 +151,11 @@ object Pipeline18 extends graft.QueryModule {
     * 100 TB: one map-side-partial hash agg is the only full-data
     * pass; the cumulative runs banded (api.Dist) on the ≤16k-score
     * frame and the decile probe is a 10× fan-out of that frame. */
-  def mlLiftGains(s: SparkSession, dir: String): DataFrame = {
-    val g = scoreGroups(s, dir)
-      .withColumn("sh", expr("8192L - score")) // descending-as-ascending
-    val tot = g.agg(sum("np").as("n_pos"),
-      (sum("np") + sum("nn")).as("n"))
-    val c = graft.api.Dist.bandedCumSum(g, Seq(), "sh", bandWidth = 128L,
-        sumCols = Seq("np", "nn"), inclusive = true)
-      .crossJoin(broadcast(tot))
-      .select(col("score"), col("sh"),
-        (col("cum_np") + col("cum_nn")).as("cum_n"),
-        col("cum_np"), col("n"), col("n_pos"))
-      .localCheckpoint() // ≤16k rows; probed once per decile below
-    val deciles = s.range(1, 11).select(col("id").as("decile"))
-    val cuts = c.crossJoin(broadcast(deciles))
-      .where(col("cum_n") * 10 >= col("decile") * col("n"))
-      .groupBy("decile").agg(min("sh").as("sh"))
-    cuts.join(c, "sh")
-      .select(col("decile"), col("score").as("threshold_score"),
-        col("cum_n"), col("cum_np").as("cum_pos"),
-        expr("(1000000 * cum_np) div n_pos").as("capture_ppm"),
-        expr("(1000000 * cum_n) div n").as("share_ppm"),
-        expr("((1000000 * cum_np) div n_pos) * 1000000" +
-          " div ((1000000 * cum_n) div n)").as("lift_ppm"))
+  def mlLiftGains(s: SparkSession, dir: String): DataFrame =
+    graft.api.Ml.liftGains(
+        labeled(s, dir).select(col("score"), (col("label") >= 5).as("pos")),
+        scoreCol = "score", posCol = "pos", scoreShift = 8192L)
       .orderBy("decile")
-  }
 
   /** MEAN/MEDIAN NULL-IMPUTER (Imputer semantics, exact-integer): a
     * deterministic mask ((l_orderkey·31 + l_linenumber) % 10 = 0 —
@@ -288,37 +252,10 @@ object Pipeline18 extends graft.QueryModule {
     * cumulatives run banded (api.Dist) and the argmin is a
     * TakeOrdered(1) over the support frame, never a global sort of
     * row-scale data. */
-  def mlTreeStump(s: SparkSession, dir: String): DataFrame = {
-    val g = scoreGroups(s, dir)
-      .withColumn("sh", expr("score + 8192L"))
-    val tot = g.agg(sum("np").as("n_pos"),
-      (sum("np") + sum("nn")).as("n"))
-    def gini(p: String, q: String): String =
-      s"1000000 - cast((cast($p as decimal(38,0)) * $p" +
-        s" + cast($q as decimal(38,0)) * $q) * 1000000" +
-        s" div (cast($p + $q as decimal(38,0)) * ($p + $q)) as bigint)"
-    graft.api.Dist.bandedCumSum(g, Seq(), "sh", bandWidth = 128L,
-        sumCols = Seq("np", "nn"), inclusive = true)
-      .crossJoin(broadcast(tot))
-      .select(col("score"),
-        col("cum_np").as("pl"), col("cum_nn").as("ql"),
-        (col("n_pos") - col("cum_np")).as("pr"),
-        (col("n") - col("n_pos") - col("cum_nn")).as("qr"),
-        col("n"))
-      .where(col("pl") + col("ql") < col("n")) // right side non-empty
-      .select(col("score"), (col("pl") + col("ql")).as("n_left"),
-        col("pl").as("pos_left"),
-        (col("pr") + col("qr")).as("n_right"), col("pr").as("pos_right"),
-        expr(gini("pl", "ql")).as("gini_left_ppm"),
-        expr(gini("pr", "qr")).as("gini_right_ppm"), col("n"))
-      .select(col("score").as("split_score"), col("n_left"),
-        col("pos_left"), col("n_right"), col("pos_right"),
-        col("gini_left_ppm"), col("gini_right_ppm"),
-        expr("(n_left * gini_left_ppm + n_right * gini_right_ppm)" +
-          " div n").as("weighted_gini_ppm"))
-      .orderBy(col("weighted_gini_ppm").asc, col("split_score").asc)
-      .limit(1)
-  }
+  def mlTreeStump(s: SparkSession, dir: String): DataFrame =
+    graft.api.Ml.decisionStump(
+      labeled(s, dir).select(col("score"), (col("label") >= 5).as("pos")),
+      scoreCol = "score", posCol = "pos", scoreShift = 8192L)
 
   /** AVERAGE PRECISION (step-wise AP, the scalar area under the PR
     * curve — sklearn's average_precision semantics): over descending-
@@ -474,32 +411,8 @@ object Pipeline18 extends graft.QueryModule {
     *
     * 100 TB: everything after the two confusion-frame hash aggs runs
     * on the ≤|labels|² support frame. */
-  def mlKappaMcc(s: SparkSession, dir: String): DataFrame = {
-    val conf = confusionFrame(s, dir)
-    val act = conf.groupBy("actual").agg(sum("n").as("na"))
-    val prd = conf.groupBy("pred").agg(sum("n").as("np"))
-      .select(col("pred").as("actual"), col("np"))
-    val cls = act.join(broadcast(prd), Seq("actual"), "full")
-      .na.fill(0L, Seq("na", "np"))
-    val stp = conf.where(col("actual") === col("pred"))
-      .agg(coalesce(sum("n"), lit(0L)).as("stp"))
-    cls.agg(sum("na").as("n"),
-        sum(expr("cast(na as decimal(19,0)) * np")).as("snanp"),
-        sum(expr("cast(na as decimal(19,0)) * na")).as("sna2"),
-        sum(expr("cast(np as decimal(19,0)) * np")).as("snp2"))
-      .crossJoin(broadcast(stp))
-      .select(col("n"),
-        expr("(1000000 * stp) div n").as("po_ppm"),
-        expr("cast(snanp * 1000000" +
-          " div (cast(n as decimal(38,0)) * n) as bigint)").as("pe_ppm"),
-        expr("round(cast(cast(n as decimal(38,0)) * stp - snanp as double)" +
-          " / cast(cast(n as decimal(38,0)) * n - snanp as double), 6)")
-          .as("kappa"),
-        expr("round(cast(cast(n as decimal(38,0)) * stp - snanp as double)" +
-          " / (sqrt(cast(cast(n as decimal(38,0)) * n - snp2 as double))" +
-          " * sqrt(cast(cast(n as decimal(38,0)) * n - sna2 as double)))," +
-          " 6)").as("mcc"))
-  }
+  def mlKappaMcc(s: SparkSession, dir: String): DataFrame =
+    graft.api.Ml.kappaMcc(predFrame(s, dir), "actual", "pred")
 
   /** EXACT K-FOLD CROSS-VALIDATION of the group-mean regressor
     * (CrossValidator semantics for a closed-form model): folds by

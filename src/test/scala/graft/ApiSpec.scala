@@ -536,4 +536,51 @@ class ApiSpec extends AnyFunSuite {
     assert(ds.count() == 3 &&
       ds.agg(min("id"), max("id")).head().toSeq == Seq(0, 2))
   }
+
+  test("Ml.confusionMatrixPpm + kappaMcc: hand-computed 2-class case") {
+    val sp = spark
+    import sp.implicits._
+    // actual: 3 a / 2 b; predicted: a,a,b | a,b -> tp(a)=2, tp(b)=1
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "a"),
+      ("b", "b")).toDF("y", "p")
+    val cm = api.Ml.confusionMatrixPpm(df, "y", "p")
+      .orderBy("class").collect()
+    assert(cm.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = cm(0); val b = cm(1)
+    assert(a.getLong(1) == 3 && a.getLong(2) == 3 && a.getLong(3) == 2)
+    assert(a.getLong(4) == 666666L && a.getLong(5) == 666666L &&
+      a.getLong(6) == 666666L)
+    assert(b.getLong(1) == 2 && b.getLong(2) == 2 && b.getLong(3) == 1)
+    assert(b.getLong(4) == 500000L)
+    val k = api.Ml.kappaMcc(df, "y", "p").collect().head
+    // n=5, stp=3, snanp = 3*3 + 2*2 = 13
+    // po = 600000; pe = 13e6/25 = 520000
+    // kappa = (5*3-13)/(25-13) = 2/12 = 0.166667
+    assert(k.getLong(0) == 5 && k.getLong(1) == 600000L &&
+      k.getLong(2) == 520000L)
+    assert(math.abs(k.getDouble(3) - 0.166667) < 1e-6)
+    // mcc = 2 / (sqrt(25-13)*sqrt(25-13)) = 2/12 here (symmetric)
+    assert(math.abs(k.getDouble(4) - 0.166667) < 1e-6)
+  }
+
+  test("Ml.liftGains + decisionStump: perfectly ranked tiny case") {
+    val sp = spark
+    import sp.implicits._
+    // scores 10..1, positives = the top 3 scores: a perfect ranking
+    val df = (1L to 10L).map(s => (s, s >= 8)).toDF("s", "pos")
+    val lg = api.Ml.liftGains(df, "s", "pos", scoreShift = 100L)
+      .orderBy("decile").collect()
+    assert(lg.length == 10)
+    // decile 3 captures all 3 positives at 30% share -> lift ~3.33x
+    val d3 = lg(2)
+    assert(d3.getLong(3) == 3 && d3.getLong(4) == 1000000L)
+    assert(d3.getLong(5) == 300000L)
+    assert(d3.getLong(6) == 1000000L * 1000000L / 300000L)
+    // the stump finds the clean boundary: left = scores <= 7, pure
+    val st = api.Ml.decisionStump(df, "s", "pos", scoreShift = 100L)
+      .collect().head
+    assert(st.getLong(0) == 7L, "split at the class boundary")
+    assert(st.getLong(5) == 0L && st.getLong(6) == 0L &&
+      st.getLong(7) == 0L, "both sides pure, weighted Gini 0")
+  }
 }
