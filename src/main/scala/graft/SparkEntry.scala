@@ -40,6 +40,7 @@ object SparkEntry {
     operators.Pipeline17,
     operators.Pipeline18,
     operators.Pipeline19,
+    operators.Pipeline20,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
