@@ -301,7 +301,37 @@ object TextOps extends graft.QueryModule {
       .limit(100)
   }
 
+  /** LSH BAND-QUALITY curve — the dedup pipeline's own eval readout
+    * ("is the 8-of-16 band threshold right for this corpus"): per
+    * band-match count m, the number of candidate pairs proposed at
+    * exactly m agreeing slots (with nonzero lexical overlap — the
+    * verify join is intersection-driven on both engines) and the
+    * exact-Jaccard precision of those pairs at the 0.5 near-dup bar,
+    * in ppm. Reuses the STORED full-corpus signatures and the
+    * candidate-restricted shingle frame — the curve costs one extra
+    * support-frame aggregation over machinery the verify keys already
+    * run.
+    *
+    * 100 TB: identical topology to q_dedup_jaccard (band join on
+    * stored signatures + candidate-restricted exact verify); the
+    * curve itself is a ≤9-row aggregation. */
+  def dedupBandQuality(s: SparkSession, dir: String): DataFrame = {
+    val (cand, sh) = candidateShingles(s, dir, minMatches = 8)
+    val ver = graft.api.Dedup.jaccardVerify(sh, "doc_id", cand,
+        threshold = 0.0)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    cand.join(ver, Seq("d1", "d2"))
+      .groupBy(col("matches").cast("long").as("matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L))
+          .as("n_verified"))
+      .select(col("matches"), col("n_pairs"), col("n_verified"),
+        expr("(1000000 * n_verified) div n_pairs").as("precision_ppm"))
+      .orderBy("matches")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_band_quality" -> dedupBandQuality,
     "q_dedup_incremental" -> dedupIncremental,
     "q_text_tokenize" -> textTokenize,
     "q_text_stopwords" -> textStopwords,
@@ -316,6 +346,37 @@ object TextOps extends graft.QueryModule {
     "q_dedup_containment" -> dedupContainment)
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_band_quality" ->
+      s"""WITH sh AS ($shinglesSql),
+        |shid AS (SELECT doc_id, shingle, ${TextOps.polyHashSql("shingle")} AS sid FROM sh),
+        |perms(perm, a, b) AS (VALUES ${TextOps.permValuesSql}),
+        |sig AS (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
+        |        FROM shid CROSS JOIN perms
+        |        GROUP BY doc_id, perm),
+        |cand AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2,
+        |           CAST(COUNT(*) AS BIGINT) AS matches
+        |         FROM sig s1 JOIN sig s2
+        |           ON s1.perm = s2.perm AND s1.minh = s2.minh AND s1.doc_id < s2.doc_id
+        |         GROUP BY d1, d2 HAVING COUNT(*) >= 8),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.d1, c.d2, COUNT(*) AS inter
+        |          FROM cand c
+        |          JOIN sh a ON a.doc_id = c.d1
+        |          JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+        |          GROUP BY c.d1, c.d2),
+        |j AS (SELECT c.matches,
+        |        ROUND(CAST(i.inter AS DOUBLE)
+        |          / (z1.sz + z2.sz - i.inter), 6) AS jac
+        |      FROM cand c
+        |      JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+        |      JOIN sizes z1 ON z1.doc_id = c.d1
+        |      JOIN sizes z2 ON z2.doc_id = c.d2)
+        |SELECT matches, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_verified,
+        |  CAST((1000000 * SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END))
+        |    // COUNT(*) AS BIGINT) AS precision_ppm
+        |FROM j GROUP BY matches ORDER BY matches""".stripMargin,
     "q_text_tokenize" ->
       """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |  (1000000 * CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)) // len(toks) AS avg_tok_len_ppm

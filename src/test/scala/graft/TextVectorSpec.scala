@@ -23,6 +23,22 @@ class TextVectorSpec extends AnyFunSuite {
     assert(exact.subsetOf(mh), s"missed pairs: ${exact -- mh}")
   }
 
+  test("band quality: consistent with the verify key, bounded precision") {
+    val rs = run("q_dedup_band_quality").collect()
+    assert(rs.nonEmpty, "the candidate band must propose pairs")
+    rs.foreach { r =>
+      val (m, np, nv, p) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      assert(m >= 8 && m <= 16, "matches within the band threshold..16")
+      assert(nv <= np && p == 1000000L * nv / np)
+    }
+    // total verified pairs across the curve == the verify key's pairs
+    // (the fixture's near-dup count sits under its LIMIT 100)
+    val verified = run("q_dedup_jaccard").count()
+    assert(rs.map(_.getLong(2)).sum == verified,
+      "curve totals must reconcile with q_dedup_jaccard")
+  }
+
   test("tfidf: idf is 0 for a token present in every doc, positive otherwise") {
     val n = Tables.documents(spark, dir).count()
     val bad = run("q_text_tfidf")
