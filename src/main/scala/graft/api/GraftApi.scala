@@ -1029,11 +1029,14 @@ object Ml {
 
   /** Per-class CONFUSION-MATRIX metrics in exact ppm
     * (MulticlassClassificationEvaluator semantics) over any row-level
-    * (actual, pred) frame: per ACTUAL class — support, predicted
+    * (actual, pred) frame: per class — support, predicted
     * count, true positives, precision/recall ppm and
     * F1 = 2·TP div (n_pred + n_actual) (pure rationals, no doubles).
-    * Rows are keyed by actual class; a class predicted but never
-    * actual contributes to other rows' n_pred only (documented).
+    * Rows are keyed on the FULL union of actual and predicted classes
+    * (ADVICE r10): a class predicted but never actual gets a row with
+    * n_actual = 0 and precision/recall/f1 = 0 — without it, callers
+    * macro-averaging the returned rows silently average over a
+    * different class set than the evaluator defines.
     *
     * 100 TB: ONE map-side-partial hash agg to the ≤|classes|²
     * confusion frame; everything after is support arithmetic. */
@@ -1048,14 +1051,15 @@ object Ml {
       .select(col("__cmp").as("__cma"), col("n_pred"))
     val tp = conf.where(col("__cma") === col("__cmp"))
       .select(col("__cma"), col("__cmn").as("tp"))
-    act.join(broadcast(prd), Seq("__cma"), "left")
+    act.join(prd, Seq("__cma"), "full")
       .join(broadcast(tp), Seq("__cma"), "left")
-      .na.fill(0L, Seq("n_pred", "tp"))
+      .na.fill(0L, Seq("n_actual", "n_pred", "tp"))
       .select(col("__cma").as("class"), col("n_actual"), col("n_pred"),
         col("tp"),
         expr("case when n_pred = 0 then 0L" +
           " else (1000000 * tp) div n_pred end").as("precision_ppm"),
-        expr("(1000000 * tp) div n_actual").as("recall_ppm"),
+        expr("case when n_actual = 0 then 0L" +
+          " else (1000000 * tp) div n_actual end").as("recall_ppm"),
         expr("(2000000 * tp) div (n_pred + n_actual)").as("f1_ppm"))
   }
 

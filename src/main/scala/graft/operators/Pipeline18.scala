@@ -603,18 +603,21 @@ object Pipeline18 extends graft.QueryModule {
         |prd AS (SELECT pred, CAST(SUM(n) AS BIGINT) AS n_pred
         |        FROM conf GROUP BY 1),
         |tps AS (SELECT actual, n AS tp FROM conf WHERE actual = pred)
-        |SELECT a.actual AS class, a.n_actual,
+        |SELECT COALESCE(a.actual, p.pred) AS class,
+        |  CAST(COALESCE(a.n_actual, 0) AS BIGINT) AS n_actual,
         |  CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
         |  CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
         |  CAST(CASE WHEN COALESCE(p.n_pred, 0) = 0 THEN 0
         |    ELSE (1000000 * COALESCE(t.tp, 0)) // p.n_pred END AS BIGINT)
         |    AS precision_ppm,
-        |  CAST((1000000 * COALESCE(t.tp, 0)) // a.n_actual AS BIGINT)
+        |  CAST(CASE WHEN COALESCE(a.n_actual, 0) = 0 THEN 0
+        |    ELSE (1000000 * COALESCE(t.tp, 0)) // a.n_actual END AS BIGINT)
         |    AS recall_ppm,
         |  CAST((2000000 * COALESCE(t.tp, 0))
-        |    // (COALESCE(p.n_pred, 0) + a.n_actual) AS BIGINT) AS f1_ppm
-        |FROM act a LEFT JOIN prd p ON p.pred = a.actual
-        |LEFT JOIN tps t ON t.actual = a.actual
+        |    // (COALESCE(p.n_pred, 0) + COALESCE(a.n_actual, 0))
+        |    AS BIGINT) AS f1_ppm
+        |FROM act a FULL JOIN prd p ON p.pred = a.actual
+        |LEFT JOIN tps t ON t.actual = COALESCE(a.actual, p.pred)
         |ORDER BY class""".stripMargin,
     "q_ml_regression_metrics" ->
       """WITH o AS (

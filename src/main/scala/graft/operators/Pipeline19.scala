@@ -172,9 +172,12 @@ object Pipeline19 extends graft.QueryModule {
     * mean (the uncertainty readout every point-estimate dashboard
     * lacks): 32 replicates where row k's weight in replicate b is the
     * fixed map [0,1,1,1,1,2] indexed by the LCG hash
-    * ((k·1103515245 + 12345 + b·2654435761) % 1000000007) % 6 — mean
-    * weight exactly 1, engine-identical integers (operands bounded
-    * ~1.7e15, no wrap), reproducible on any engine or rerun (the
+    * (((k % p)·1103515245 + 12345 + b·2654435761) % p) % 6 with
+    * p = 1000000007 — mean weight exactly 1, engine-identical
+    * integers at ANY key scale (ADVICE r10: the raw k·1103515245
+    * product wraps int64 past ~8.4e9 keys where Spark wraps silently
+    * but DuckDB raises; reducing k mod p first is congruent mod p and
+    * bounds the product under 1.2e18), reproducible on any engine (the
     * repo-wide seeded-hash discipline; a Poisson bootstrap would need
     * engine RNG). Per-replicate weighted means floor-divide exactly;
     * the CI is the 2nd..31st order statistic of the 32 replicate
@@ -191,8 +194,9 @@ object Pipeline19 extends graft.QueryModule {
     val reps = s.range(0, 32).select(col("id").as("b"))
     val means = o.crossJoin(broadcast(reps))
       .select(col("b"), col("cents"),
-        expr("case (k * 1103515245 + 12345 + b * 2654435761)" +
-          " % 1000000007 % 6 when 0 then 0L when 5 then 2L" +
+        expr("case (k % 1000000007 * 1103515245 + 12345" +
+          " + b * 2654435761) % 1000000007 % 6" +
+          " when 0 then 0L when 5 then 2L" +
           " else 1L end").as("w"))
       .groupBy("b")
       .agg(expr("sum(w * cents) div sum(w)").as("m"))
@@ -233,9 +237,10 @@ object Pipeline19 extends graft.QueryModule {
     * the shared seeded KMeans fit with the native ML writer, load it
     * back in the same session, and emit the RELOADED model's
     * per-cluster sizes beside a per-cluster agreement check against
-    * the in-memory original. Write-once per (session, sfDir) like the
-    * source round-trips, so the timed path measures load + transform,
-    * not the one-time serialization. NO oracle (the assignment is the
+    * the in-memory original. The save is unconditional overwrite
+    * (O(k·d) files, cheaper than a row transform) so the round-trip
+    * is self-healing after a crashed partial write — the timed path
+    * is save + load + transform. NO oracle (the assignment is the
     * seeded fit's); Pipeline19Spec pins reloaded == original on every
     * vector and k rows out.
     *
@@ -248,8 +253,12 @@ object Pipeline19 extends graft.QueryModule {
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
       "/kmeans"
     val orig = VectorOps.sharedKmeansTarget(s, dir)
-    if (!new java.io.File(path).exists())
-      orig.write.overwrite().save(path)
+    // ADVICE r10: no exists() guard — a crashed partial previous write
+    // would poison every later load, and File.exists assumes the local
+    // FS is Spark's default FS. Model files are O(k·d); the
+    // unconditional overwrite costs less than one row transform and
+    // makes the save self-healing on any filesystem.
+    orig.write.overwrite().save(path)
     val reloaded = KMeansModel.load(path)
     val feats = VectorOps.sharedRawFeats(s, dir)
     val a = orig.transform(feats).select(col("vec_id"),
@@ -286,7 +295,8 @@ object Pipeline19 extends graft.QueryModule {
         |  SELECT b,
         |    CAST(SUM(w * cents) // SUM(w) AS BIGINT) AS m
         |  FROM (SELECT b, cents,
-        |          CASE (k * 1103515245 + 12345 + b * 2654435761)
+        |          CASE (k % 1000000007 * 1103515245 + 12345
+        |              + b * 2654435761)
         |            % 1000000007 % 6 WHEN 0 THEN 0 WHEN 5 THEN 2
         |            ELSE 1 END AS w
         |        FROM o CROSS JOIN reps)

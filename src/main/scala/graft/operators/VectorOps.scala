@@ -184,15 +184,38 @@ object VectorOps extends graft.QueryModule {
       .orderBy("event_id")
   }
 
-  /** QuantileDiscretizer semantics: ntile(10) deciles + fixed-width
-    * buckets of o_totalprice. Exact global deciles need one global sort
-    * (the plan's only SinglePartition exchange) — kept as the
-    * exactness baseline; q_vec_bucketize_cuts is the 100 TB path. */
+  /** QuantileDiscretizer semantics: EXACT ntile(10) deciles +
+    * fixed-width buckets of o_totalprice — without the global-sort
+    * window the naive ntile plans (VERDICT r10 #2: that plan funnels
+    * every row through ONE task at scale). The global rank comes from
+    * [[graft.api.Dist.bandedRank]] over exact cents (banded local
+    * row_number + broadcast band offsets — every exchange is hash-
+    * partitioned), and the ntile bucket is reconstructed from the rank
+    * arithmetically: with n rows the first n%10 tiles hold
+    * n div 10 + 1 rows, the rest n div 10 (the SQL-standard NTILE
+    * fill both engines implement), so
+    *   decile = (rank-1) div (base+1) + 1            while rank is in
+    *            the wide tiles, else
+    *            rem + (rank-1-rem·(base+1)) div base + 1.
+    * Identical output to the ntile window (same oracle), no
+    * SinglePartition exchange anywhere; q_vec_bucketize_cuts remains
+    * the approx/sketch path. */
   def vecBucketize(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    Tables.orders(s, dir)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("__cents"))
+    // prices are exact cents, so ranking (cents asc, key asc) is the
+    // oracle's (o_totalprice asc, o_orderkey asc); $20k-wide bands ->
+    // ~30 bands over the TPC-H price range, each a parallel window
+    val ranked = graft.api.Dist.bandedRank(o, Seq(), "__cents",
+      "o_orderkey", bandWidth = 2000000L)
+    val n = o.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
       .select(col("o_orderkey"),
-        ntile(10).over(w).cast("long").as("decile"),
+        expr("case when rank <= __n % 10 * (__n div 10 + 1)" +
+          " then (rank - 1) div (__n div 10 + 1) + 1" +
+          " else __n % 10 + (rank - 1 - __n % 10 * (__n div 10 + 1))" +
+          " div (__n div 10) + 1 end").cast("long").as("decile"),
         least(floor(col("o_totalprice") / 50000), lit(9)).cast("long")
           .as("width_bucket"))
       .orderBy("o_orderkey")

@@ -537,6 +537,22 @@ class ApiSpec extends AnyFunSuite {
       ds.agg(min("id"), max("id")).head().toSeq == Seq(0, 2))
   }
 
+  test("Ml.confusionMatrixPpm keys on the full class union (ADVICE r10)") {
+    val sp = spark
+    import sp.implicits._
+    // class c is predicted twice but never actual: it must get its own
+    // row (n_actual = 0, precision = 0 by definition) so macro-averages
+    // over the returned rows cover the evaluator's class set
+    val df = Seq(("a", "a"), ("a", "c"), ("b", "c"), ("b", "b"))
+      .toDF("y", "p")
+    val cm = api.Ml.confusionMatrixPpm(df, "y", "p")
+      .orderBy("class").collect()
+    assert(cm.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    val c = cm(2)
+    assert(c.getLong(1) == 0 && c.getLong(2) == 2 && c.getLong(3) == 0)
+    assert(c.getLong(4) == 0 && c.getLong(5) == 0 && c.getLong(6) == 0)
+  }
+
   test("Ml.confusionMatrixPpm + kappaMcc: hand-computed 2-class case") {
     val sp = spark
     import sp.implicits._
