@@ -255,4 +255,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("graft_kll_agg") ||
       plan.contains("KllSketchAgg"), plan)
   }
+
+  test("full surface: no cartesian, no unlisted BNLJ, no unlisted " +
+      "row-scale SinglePartition exchange (VERDICT r10 #1)") {
+    // The whole-surface twin of graft.PlanAudit's round-close run,
+    // on the EXCHANGE-INSERTED plan (AQE off in a sibling session so
+    // executedPlan is the real exchange tree, not an
+    // AdaptiveSparkPlanExec wrapper). Benign SinglePartition
+    // exchanges — child is a partial agg (O(#tasks) rows) or a
+    // LocalLimit — pass; anything else must carry a documented bound
+    // in PlanAudit.boundedSinglePartition / boundedBnlj.
+    val audit = spark.newSession()
+    audit.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        val (offenses, _) = PlanAudit.auditOne(audit, dir, name)
+        if (offenses.isEmpty) None else Some(s"$name: ${offenses.mkString(", ")}")
+      } catch {
+        case e: Throwable => Some(s"$name: PLAN FAILED ${e.getMessage}")
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
