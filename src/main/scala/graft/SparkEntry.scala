@@ -41,6 +41,7 @@ object SparkEntry {
     operators.Pipeline18,
     operators.Pipeline19,
     operators.Pipeline20,
+    operators.Pipeline21,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -493,4 +493,82 @@ class StreamingSpec extends AnyFunSuite {
       assert(bad == 0, "stateful funnel diverges from batch twin")
     } finally q.stop()
   }
+
+  test("foreachBatch idempotent sink: a replayed micro-batch writes " +
+      "once (exactly-once by idempotence — VERDICT r10 #8)") {
+    // The operational half of a streaming helper: foreachBatch gives
+    // at-least-once delivery, so the sink must key its write on
+    // batchId and overwrite — a re-fed batch (failure before the
+    // commit log advanced) then lands byte-identical instead of
+    // duplicating. The sink here writes each batch's per-type counts
+    // to out/batch_id=<id> with overwrite mode.
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-febatch").toString
+    val data = eventsSample().take(200)
+    def idempotentSink(df: DataFrame, batchId: Long): Unit =
+      df.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(idempotentSink _)
+      .start()
+    try { mem.addData(data); q.processAllAvailable() } finally q.stop()
+    val batchDirs = new java.io.File(out)
+      .listFiles().filter(_.getName.startsWith("batch_id=")).map(_.getName)
+    assert(batchDirs.toSeq == Seq("batch_id=0"), batchDirs.mkString(","))
+    val first = spark.read.parquet(s"$out/batch_id=0")
+      .collect().map(_.toString).sorted.toSeq
+    // REPLAY batch 0 — the same rows, the same batchId, as the
+    // restarted query would re-feed them
+    idempotentSink(data.toDF(), 0L)
+    val replayed = spark.read.parquet(s"$out/batch_id=0")
+      .collect().map(_.toString).sorted.toSeq
+    assert(replayed == first, "replay must be byte-identical, not append")
+    // and the total output across the sink is still exactly one batch
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("batch_id=")) == 1)
+  }
+
+  test("trigger modes: AvailableNow drains existing input then " +
+      "self-terminates; ProcessingTime keeps the query live") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sp = spark
+    import sp.implicits._
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-trigger-in").toString
+    val sample = eventsSample()
+    sample.toDF().coalesce(1).write.mode("overwrite").parquet(in)
+    val expected = sample.groupBy(_.event_type)
+      .map { case (t, es) => (t, es.size.toLong) }.toMap
+    def counts(table: String): Map[String, Long] =
+      sp.table(table).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src = sp.readStream.schema(Tables.events(spark, dir).schema)
+      .parquet(in)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    // AvailableNow: batch-like operation of a streaming pipeline —
+    // process everything that exists, then stop without an external
+    // stop() signal (the backfill/cron half of a streaming helper)
+    val qa = src.writeStream.format("memory").queryName("t_avnow")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    assert(qa.awaitTermination(120000),
+      "AvailableNow query must terminate on its own")
+    assert(counts("t_avnow") == expected)
+    // ProcessingTime: the continuous mode — same result, but the query
+    // stays active until stopped
+    val qp = src.writeStream.format("memory").queryName("t_proctime")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      qp.processAllAvailable()
+      assert(qp.isActive, "ProcessingTime query must stay live")
+      assert(counts("t_proctime") == expected)
+    } finally qp.stop()
+  }
 }
