@@ -38,7 +38,9 @@ object PlanAudit {
     "q_ml_feature_onehot" ->
       "StringIndexer frequency rank over the 5-value c_mktsegment domain",
     "q_pipeline_corpus" ->
-      "stage-survival lag over the <= |stages| (5) per-stage count frame")
+      "stage-survival lag over the <= |stages| (5) per-stage count frame",
+    "q_ml_pic" ->
+      "size-rank over the <= k (4) cluster-size frame")
 
   /** Keys whose plan carries a BroadcastNestedLoopJoin whose broadcast
     * side is a scalar/probe/quota frame bounded by construction —

@@ -159,11 +159,127 @@ object Pipeline21 extends graft.QueryModule {
     rows.toDF("model", "item", "value").orderBy("model", "item")
   }
 
+  /** VECTOR NORMALIZER + BINARIZER (spark.ml Normalizer p=2 and
+    * Binarizer threshold=0 — the two pure-projection feature
+    * transformers still unwrapped after r10): unit-L2 embeddings
+    * through the REAL transformers, graded as the first 4 normalized
+    * dims floor-scaled to exact micro-ints (the q_vec_quantize_int8
+    * discipline: both engines compute the identical IEEE double
+    * x/||v|| — sequential square-sum, correctly-rounded sqrt and
+    * divide — so the floor is engine-exact), plus the 6-dp L2 norm
+    * and the Binarizer's positive-dimension count.
+    *
+    * 100 TB: pure narrow projection per vector, no shuffle, no fit. */
+  def vecNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{Binarizer, Normalizer}
+    import org.apache.spark.ml.functions.vector_to_array
+    val toVec = udf((a: Seq[Double]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.toArray))
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        toVec(expr("transform(embedding, x -> cast(x as double))")).as("v"))
+    val unit = new Normalizer().setP(2.0)
+      .setInputCol("v").setOutputCol("u").transform(base)
+    val bin = new Binarizer().setThreshold(0.0)
+      .setInputCol("u").setOutputCol("b").transform(unit)
+    val u = vector_to_array(col("u"), "float64")
+    val b = vector_to_array(col("b"), "float64")
+    bin.select(col("vec_id"),
+        floor(element_at(u, 1) * 1e6).cast("long").as("u0"),
+        floor(element_at(u, 2) * 1e6).cast("long").as("u1"),
+        floor(element_at(u, 3) * 1e6).cast("long").as("u2"),
+        floor(element_at(u, 4) * 1e6).cast("long").as("u3"),
+        round(sqrt(aggregate(transform(vector_to_array(col("v"), "float64"),
+          x => x * x), lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"),
+        aggregate(b, lit(0L), (acc, x) => acc + x.cast("long")).as("n_pos"))
+      .orderBy("vec_id")
+  }
+
+  /** POLYNOMIAL EXPANSION (spark.ml PolynomialExpansion degree=2 —
+    * the interaction-features transformer): expand the exact-integer
+    * pair [acctbal cents, nationkey] into the documented
+    * (x, x², y, x·y, y²) basis through the REAL transformer. All
+    * five terms stay exact integers under 2^53, so the rendering is
+    * engine-exact bigint strings — fully oracle-checkable.
+    *
+    * 100 TB: pure narrow projection, no shuffle, no fit. */
+  def mlPolyExpand(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{PolynomialExpansion, VectorAssembler}
+    import org.apache.spark.ml.functions.vector_to_array
+    val base = Tables.customer(s, dir).select(col("c_custkey"),
+      expr("cast(round(c_acctbal * 100) as bigint)").cast("double").as("cc"),
+      col("c_nationkey").cast("double").as("nk"))
+    val asm = new VectorAssembler().setInputCols(Array("cc", "nk"))
+      .setOutputCol("xy")
+    val poly = new PolynomialExpansion().setDegree(2)
+      .setInputCol("xy").setOutputCol("f")
+    val arr = vector_to_array(col("f"), "float64")
+    poly.transform(asm.transform(base))
+      .select(col("c_custkey"),
+        array_join(transform(arr, x => x.cast("long").cast("string")), ",")
+          .as("features"),
+        size(arr).cast("long").as("n_features"))
+      .orderBy("c_custkey")
+  }
+
+  /** POWER ITERATION CLUSTERING (spark.ml PowerIterationClustering —
+    * the spectral family, last unwrapped clustering beside
+    * KMeans/Bisecting/GMM/LDA): affinity graph = LSH-bucket candidate
+    * pairs (6 tables x 6 sign-bits over the embeddings — the
+    * q_sim_lsh_bucketed machinery, NEVER all-pairs) weighted by
+    * positive exact cosine; PIC k=4 with deterministic degree init.
+    * Readout: cluster sizes by size rank (rank, not the internal
+    * cluster id, so the output is label-permutation stable). NO
+    * oracle (iterative eigenvector + k-means step); Pipeline21Spec
+    * pins determinism, node conservation and the k bound.
+    *
+    * 100 TB: candidates from bucket equi-joins; each PIC iteration is
+    * an edge-list join + aggregate (the Pregel shape of
+    * q_graph_pagerank) — state is the node vector, never the corpus. */
+  def mlPic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.PowerIterationClustering
+    graft.functions.VectorExprs.ensureRegistered(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val buckets = graft.api.Sim.lshBuckets(e, "vec_id", "e",
+      dim = 64, tables = 6, bits = 6, seed = 42L)
+    val pairs = buckets.select(col("tbl"), col("bkt"), col("vec_id").as("a"))
+      .join(buckets.select(col("tbl"), col("bkt"), col("vec_id").as("b")),
+        Seq("tbl", "bkt"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val vecs = e.select(col("vec_id"),
+      col("e").as("ve"), expr("sqrt(graft_dot(e, e))").as("nrm"))
+    val edges = pairs
+      .join(vecs.select(col("vec_id").as("a"), col("ve").as("ea"),
+        col("nrm").as("na")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("ve").as("eb"),
+        col("nrm").as("nb")), "b")
+      .select(col("a").as("src"), col("b").as("dst"),
+        expr("graft_dot(ea, eb)") / (col("na") * col("nb")) as "weight")
+      .where(col("weight") > 0)
+    val assigned = new PowerIterationClustering().setK(4).setMaxIter(8)
+      .setInitMode("degree").setWeightCol("weight")
+      .assignClusters(edges)
+    assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"), min("id").as("min_node"))
+      .select(col("cluster_size"), col("min_node"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cluster_size").desc, col("min_node").asc))
+          .cast("long").as("size_rank"))
+      .select(col("size_rank"), col("cluster_size"), col("min_node"))
+      .orderBy("size_rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_feature_assemble" -> mlFeatureAssemble,
     "q_ml_prefixspan" -> mlPrefixspan,
     "q_ml_pipeline_persist" -> mlPipelinePersist,
-    "q_ml_model_metadata" -> mlModelMetadata)
+    "q_ml_model_metadata" -> mlModelMetadata,
+    "q_vec_normalize" -> vecNormalize,
+    "q_ml_poly_expand" -> mlPolyExpand,
+    "q_ml_pic" -> mlPic)
 
   def oracleSql: Map[String, String] = Map(
     "q_ml_feature_assemble" ->
@@ -173,6 +289,32 @@ object Pipeline21 extends graft.QueryModule {
         |    || ',' || CAST(LENGTH(c_name) * 100 AS VARCHAR) AS features,
         |  CAST(3 AS BIGINT) AS n_features
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_vec_normalize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |      FROM e)
+        |SELECT vec_id,
+        |  CAST(FLOOR(v[1] / nrm * 1e6) AS BIGINT) AS u0,
+        |  CAST(FLOOR(v[2] / nrm * 1e6) AS BIGINT) AS u1,
+        |  CAST(FLOOR(v[3] / nrm * 1e6) AS BIGINT) AS u2,
+        |  CAST(FLOOR(v[4] / nrm * 1e6) AS BIGINT) AS u3,
+        |  ROUND(nrm, 6) AS l2_norm,
+        |  CAST(list_sum(list_transform(v, x ->
+        |    CASE WHEN x / nrm > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_pos
+        |FROM n ORDER BY vec_id""".stripMargin,
+    "q_ml_poly_expand" ->
+      """WITH b AS (SELECT c_custkey,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cc,
+        |    CAST(c_nationkey AS BIGINT) AS nk
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(cc AS VARCHAR) || ',' || CAST(cc * cc AS VARCHAR)
+        |    || ',' || CAST(nk AS VARCHAR)
+        |    || ',' || CAST(cc * nk AS VARCHAR)
+        |    || ',' || CAST(nk * nk AS VARCHAR) AS features,
+        |  CAST(5 AS BIGINT) AS n_features
+        |FROM b ORDER BY c_custkey""".stripMargin,
     "q_ml_prefixspan" ->
       """WITH ev AS (SELECT user_id AS u, event_type AS t, ts, event_id
         |            FROM events),

@@ -62,6 +62,42 @@ class Pipeline21Spec extends AnyFunSuite {
     assert(rs.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("vec normalize: unit norm, positive-count matches raw signs") {
+    val rs = run("q_vec_normalize").collect()
+    assert(rs.length == Tables.embeddings(spark, dir).count())
+    // micro-int components of a unit vector stay inside [-1e6, 1e6]
+    rs.foreach { r =>
+      (1 to 4).foreach(i =>
+        assert(math.abs(r.getLong(i)) <= 1000000L, r.toString))
+      assert(r.getDouble(5) > 0, "positive L2 norm")
+      assert(r.getLong(6) >= 0 && r.getLong(6) <= 64)
+    }
+  }
+
+  test("poly expand: 5 exact terms obeying the (x, x2, y, xy, y2) basis") {
+    val rs = run("q_ml_poly_expand").collect()
+    assert(rs.forall(_.getLong(2) == 5L))
+    rs.take(50).foreach { r =>
+      val Array(x, x2, y, xy, y2) = r.getString(1).split(",").map(_.toLong)
+      assert(x2 == x * x && xy == x * y && y2 == y * y, r.toString)
+    }
+  }
+
+  test("pic: deterministic spectral partition covering the LSH graph") {
+    val a = run("q_ml_pic").collect().map(_.toString).toSeq
+    val b = run("q_ml_pic").collect().map(_.toString).toSeq
+    assert(a == b, "PIC with degree init must be deterministic")
+    val rs = run("q_ml_pic").collect()
+    assert(rs.length <= 4 && rs.nonEmpty)
+    // size-rank labeling is monotone and sizes positive
+    assert(rs.map(_.getLong(0)).toSeq == (1L to rs.length).toSeq)
+    assert(rs.forall(_.getLong(1) > 0))
+    val covered = rs.map(_.getLong(1)).sum
+    // every node with at least one positive-cosine LSH edge is assigned
+    assert(covered > 0 &&
+      covered <= Tables.embeddings(spark, dir).count())
+  }
+
   test("model metadata: deterministic registry over the memoized fits") {
     val a = run("q_ml_model_metadata").collect().map(_.toString).toSeq
     val b = run("q_ml_model_metadata").collect().map(_.toString).toSeq
