@@ -256,6 +256,20 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("KllSketchAgg"), plan)
   }
 
+  test("r11 transformer keys are pure projections: no join, no agg, no window") {
+    // VectorAssembler / PolynomialExpansion / Normalizer+Binarizer are
+    // row-local transforms — their plans must be scan + project (+ the
+    // presentation sort §2.0.1 mandates); any Join/HashAggregate/Window
+    // means the wrapper regressed into a shuffle shape.
+    for (q <- Seq("q_ml_feature_assemble", "q_ml_poly_expand",
+        "q_vec_normalize")) {
+      val plan = physical(q)
+      assert(!plan.contains("Join"), s"$q plans a join:\n$plan")
+      assert(!plan.contains("HashAggregate"), s"$q plans an agg:\n$plan")
+      assert(!plan.contains("Window"), s"$q plans a window:\n$plan")
+    }
+  }
+
   test("full surface: no cartesian, no unlisted BNLJ, no unlisted " +
       "row-scale SinglePartition exchange (VERDICT r10 #1)") {
     // The whole-surface twin of graft.PlanAudit's round-close run,
