@@ -225,9 +225,11 @@ object Pipeline21 extends graft.QueryModule {
   /** POWER ITERATION CLUSTERING (spark.ml PowerIterationClustering —
     * the spectral family, last unwrapped clustering beside
     * KMeans/Bisecting/GMM/LDA): affinity graph = LSH-bucket candidate
-    * pairs (6 tables x 6 sign-bits over the embeddings — the
-    * q_sim_lsh_bucketed machinery, NEVER all-pairs) weighted by
-    * positive exact cosine; PIC k=4 with deterministic degree init.
+    * pairs (4 tables x 7 sign-bits over the embeddings — the
+    * q_sim_lsh_bucketed machinery, NEVER all-pairs; 128 buckets/table
+    * keeps the pair blowup ~3x smaller than the 6x6 search config
+    * while the union of 4 tables still connects the graph) weighted
+    * by positive exact cosine; PIC k=4 with deterministic degree init.
     * Readout: cluster sizes by size rank (rank, not the internal
     * cluster id, so the output is label-permutation stable). NO
     * oracle (iterative eigenvector + k-means step); Pipeline21Spec
@@ -243,7 +245,7 @@ object Pipeline21 extends graft.QueryModule {
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("e"))
     val buckets = graft.api.Sim.lshBuckets(e, "vec_id", "e",
-      dim = 64, tables = 6, bits = 6, seed = 42L)
+      dim = 64, tables = 4, bits = 7, seed = 42L)
     val pairs = buckets.select(col("tbl"), col("bkt"), col("vec_id").as("a"))
       .join(buckets.select(col("tbl"), col("bkt"), col("vec_id").as("b")),
         Seq("tbl", "bkt"))
