@@ -59,7 +59,7 @@ object PlanAudit {
     "q_sample_pps", "q_sample_temperature", "q_sim_ann_pq",
     "q_sim_cosine_topk", "q_text_collocations", "q_text_perplexity",
     "q_text_tfidf", "q_text_word2vec", "q_time_interp",
-    "q_vec_bucketize", "q_vec_bucketize_cuts")
+    "q_vec_bucketize", "q_vec_bucketize_cuts", "q_graph_triangles")
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

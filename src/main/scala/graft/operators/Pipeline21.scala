@@ -274,6 +274,45 @@ object Pipeline21 extends graft.QueryModule {
       .orderBy("size_rank")
   }
 
+  /** EXACT TRIANGLE COUNT over the stored near-dup candidate graph
+    * (the q_graph_pagerank / components edge list: >=8/16-band MinHash
+    * pairs, d1 < d2 unique) — the clustering-coefficient readout that
+    * says whether near-dup neighborhoods are cliquish (one big
+    * community) or chained (bridge docs). The vertex-ordered wedge
+    * join counts every triangle exactly once: edges (a<b) joined to
+    * (b<c) form each wedge once, closed by the (a,c) edge equi-join.
+    * One row: edges, nodes, wedges, triangles and the global closure
+    * ratio in ppm.
+    *
+    * 100 TB: the graph is the SUPPORT-sized stored pair frame (LSH
+    * band candidates — never corpus-scale); the wedge join shuffles
+    * on vertex keys (the standard distributed triangle algorithm) and
+    * the closure join is another equi-join. No BNLJ beyond the two
+    * 1-row total attaches. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = s.read.parquet(TextOps.ensureFullPairs(s, dir))
+      .where(col("matches") >= 8).select("d1", "d2")
+      .localCheckpoint() // support-sized; five consumers below
+    val p1 = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    val p2 = pairs.select(col("d1").as("b"), col("d2").as("c"))
+    val p3 = pairs.select(col("d1").as("a"), col("d2").as("c"))
+    val wedges = p1.join(p2, "b")
+    val tri = wedges.join(p3, Seq("a", "c"))
+      .agg(count(lit(1)).as("triangles"))
+    val nw = wedges.agg(count(lit(1)).as("wedges"))
+    val ne = pairs.agg(count(lit(1)).as("n_edges"))
+    val nn = pairs.select(col("d1").as("n"))
+      .union(pairs.select(col("d2").as("n"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    ne.crossJoin(broadcast(nn)).crossJoin(broadcast(nw))
+      .crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_nodes"), col("wedges"),
+        col("triangles"),
+        expr("case when wedges = 0 then 0L" +
+          " else (1000000 * triangles) div wedges end")
+          .as("closure_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_feature_assemble" -> mlFeatureAssemble,
     "q_ml_prefixspan" -> mlPrefixspan,
@@ -281,9 +320,35 @@ object Pipeline21 extends graft.QueryModule {
     "q_ml_model_metadata" -> mlModelMetadata,
     "q_vec_normalize" -> vecNormalize,
     "q_ml_poly_expand" -> mlPolyExpand,
-    "q_ml_pic" -> mlPic)
+    "q_ml_pic" -> mlPic,
+    "q_graph_triangles" -> graphTriangles)
 
   def oracleSql: Map[String, String] = Map(
+    "q_graph_triangles" ->
+      s"""WITH sh AS (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
+        |            FROM (${TextOps.shinglesSql})),
+        |perms(perm, a, b) AS (VALUES ${TextOps.permValuesSql}),
+        |sig AS (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
+        |        FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+        |pairs AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2
+        |          FROM sig s1 JOIN sig s2
+        |            ON s1.perm = s2.perm AND s1.minh = s2.minh
+        |           AND s1.doc_id < s2.doc_id
+        |          GROUP BY d1, d2 HAVING COUNT(*) >= 8),
+        |w AS (SELECT p1.d1 AS a, p1.d2 AS b, p2.d2 AS c
+        |      FROM pairs p1 JOIN pairs p2 ON p2.d1 = p1.d2),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+        |      FROM w JOIN pairs p3 ON p3.d1 = w.a AND p3.d2 = w.c),
+        |nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS wedges FROM w),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
+        |nn AS (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) AS n_nodes
+        |       FROM (SELECT d1 AS n FROM pairs
+        |             UNION ALL SELECT d2 FROM pairs))
+        |SELECT n_edges, n_nodes, wedges, triangles,
+        |  CAST(CASE WHEN wedges = 0 THEN 0
+        |    ELSE (1000000 * triangles) // wedges END AS BIGINT)
+        |    AS closure_ppm
+        |FROM ne CROSS JOIN nn CROSS JOIN nw CROSS JOIN t""".stripMargin,
     "q_ml_feature_assemble" ->
       """SELECT c_custkey,
         |  CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR)

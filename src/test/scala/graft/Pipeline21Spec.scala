@@ -98,6 +98,19 @@ class Pipeline21Spec extends AnyFunSuite {
       covered <= Tables.embeddings(spark, dir).count())
   }
 
+  test("graph triangles: wedge-closure invariants on the stored graph") {
+    val r = run("q_graph_triangles").head()
+    val (edges, nodes, wedges, tris, closure) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(edges > 0 && nodes > 1)
+    assert(nodes <= 2 * edges, "every node carries at least one edge")
+    assert(tris <= wedges, "a triangle is a closed wedge")
+    assert(closure == (if (wedges == 0) 0L else 1000000L * tris / wedges))
+    // the near-dup fixture graph is cliquish: duplicate clusters close
+    // most of their wedges
+    if (wedges > 0) assert(closure > 0, "no closed wedge in a dup graph")
+  }
+
   test("model metadata: deterministic registry over the memoized fits") {
     val a = run("q_ml_model_metadata").collect().map(_.toString).toSeq
     val b = run("q_ml_model_metadata").collect().map(_.toString).toSeq
