@@ -278,32 +278,47 @@ object Pipeline21 extends graft.QueryModule {
     * (the q_graph_pagerank / components edge list: >=8/16-band MinHash
     * pairs, d1 < d2 unique) — the clustering-coefficient readout that
     * says whether near-dup neighborhoods are cliquish (one big
-    * community) or chained (bridge docs). The vertex-ordered wedge
-    * join counts every triangle exactly once: edges (a<b) joined to
-    * (b<c) form each wedge once, closed by the (a,c) edge equi-join.
-    * One row: edges, nodes, wedges, triangles and the global closure
-    * ratio in ppm.
+    * community) or chained (bridge docs). DEGREE-ORDERED orientation
+    * (the standard distributed algorithm): each edge points from its
+    * lower-(degree, id) endpoint to the higher, every triangle forms
+    * exactly one out-wedge at its lowest-ranked vertex, and the wedge
+    * blowup is bounded by Σ out-deg² = O(m^1.5) on ANY graph — an
+    * id-ordered wedge join would instead square a boilerplate hub's
+    * degree (a 10^5-copy template doc → 10^10 wedges). The closing
+    * (b, c) edge is an id-ordered pairs lookup because out-neighbors
+    * are paired in id order. One row: edges, nodes, oriented wedges,
+    * triangles and the wedge-closure ratio in ppm.
     *
     * 100 TB: the graph is the SUPPORT-sized stored pair frame (LSH
-    * band candidates — never corpus-scale); the wedge join shuffles
-    * on vertex keys (the standard distributed triangle algorithm) and
-    * the closure join is another equi-join. No BNLJ beyond the two
+    * band candidates — never corpus-scale); degree, orientation,
+    * wedge and closure are all hash equi-joins. No BNLJ beyond the
     * 1-row total attaches. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     val pairs = s.read.parquet(TextOps.ensureFullPairs(s, dir))
       .where(col("matches") >= 8).select("d1", "d2")
       .localCheckpoint() // support-sized; five consumers below
-    val p1 = pairs.select(col("d1").as("a"), col("d2").as("b"))
-    val p2 = pairs.select(col("d1").as("b"), col("d2").as("c"))
-    val p3 = pairs.select(col("d1").as("a"), col("d2").as("c"))
-    val wedges = p1.join(p2, "b")
-    val tri = wedges.join(p3, Seq("a", "c"))
+    val deg = pairs.select(col("d1").as("n"))
+      .union(pairs.select(col("d2").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val lowFirst = pairs
+      .join(deg.select(col("n").as("d1"), col("dg").as("dg1")), "d1")
+      .join(deg.select(col("n").as("d2"), col("dg").as("dg2")), "d2")
+      .select(expr("dg1 < dg2 or (dg1 = dg2 and d1 < d2)").as("lo1"),
+        col("d1"), col("d2"))
+    val oriented = lowFirst.select(
+        when(col("lo1"), col("d1")).otherwise(col("d2")).as("src"),
+        when(col("lo1"), col("d2")).otherwise(col("d1")).as("dst"))
+      .localCheckpoint() // two wedge-side consumers
+    val wedges = oriented.select(col("src").as("a"), col("dst").as("b"))
+      .join(oriented.select(col("src").as("a"), col("dst").as("c")), "a")
+      .where(col("b") < col("c"))
+    val tri = wedges
+      .join(pairs.select(col("d1").as("b"), col("d2").as("c")),
+        Seq("b", "c"))
       .agg(count(lit(1)).as("triangles"))
     val nw = wedges.agg(count(lit(1)).as("wedges"))
     val ne = pairs.agg(count(lit(1)).as("n_edges"))
-    val nn = pairs.select(col("d1").as("n"))
-      .union(pairs.select(col("d2").as("n"))).distinct()
-      .agg(count(lit(1)).as("n_nodes"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
     ne.crossJoin(broadcast(nn)).crossJoin(broadcast(nw))
       .crossJoin(broadcast(tri))
       .select(col("n_edges"), col("n_nodes"), col("wedges"),
@@ -335,15 +350,25 @@ object Pipeline21 extends graft.QueryModule {
         |            ON s1.perm = s2.perm AND s1.minh = s2.minh
         |           AND s1.doc_id < s2.doc_id
         |          GROUP BY d1, d2 HAVING COUNT(*) >= 8),
-        |w AS (SELECT p1.d1 AS a, p1.d2 AS b, p2.d2 AS c
-        |      FROM pairs p1 JOIN pairs p2 ON p2.d1 = p1.d2),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+        |        FROM (SELECT d1 AS n FROM pairs
+        |              UNION ALL SELECT d2 FROM pairs) GROUP BY n),
+        |ori AS (SELECT CASE WHEN a.dg < b.dg
+        |                 OR (a.dg = b.dg AND p.d1 < p.d2)
+        |               THEN p.d1 ELSE p.d2 END AS src,
+        |               CASE WHEN a.dg < b.dg
+        |                 OR (a.dg = b.dg AND p.d1 < p.d2)
+        |               THEN p.d2 ELSE p.d1 END AS dst
+        |        FROM pairs p JOIN deg a ON a.n = p.d1
+        |        JOIN deg b ON b.n = p.d2),
+        |w AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+        |      FROM ori o1 JOIN ori o2
+        |        ON o2.src = o1.src AND o1.dst < o2.dst),
         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
-        |      FROM w JOIN pairs p3 ON p3.d1 = w.a AND p3.d2 = w.c),
+        |      FROM w JOIN pairs p3 ON p3.d1 = w.b AND p3.d2 = w.c),
         |nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS wedges FROM w),
         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
-        |nn AS (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) AS n_nodes
-        |       FROM (SELECT d1 AS n FROM pairs
-        |             UNION ALL SELECT d2 FROM pairs))
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
         |SELECT n_edges, n_nodes, wedges, triangles,
         |  CAST(CASE WHEN wedges = 0 THEN 0
         |    ELSE (1000000 * triangles) // wedges END AS BIGINT)
