@@ -247,10 +247,13 @@ object VectorOps extends graft.QueryModule {
       .select(col("o_orderkey"), col("o_totalprice"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("__cents"))
     // prices are exact cents, so ranking (cents asc, key asc) is the
-    // oracle's (o_totalprice asc, o_orderkey asc); $20k-wide bands ->
-    // ~30 bands over the TPC-H price range, each a parallel window
+    // oracle's (o_totalprice asc, o_orderkey asc); $1k-wide bands ->
+    // ~560 bands over the TPC-H price DOMAIN (domain-, not row-,
+    // bounded), so the per-band local windows keep ~560-way
+    // parallelism at any SF while the band-offset frame stays a tiny
+    // broadcast
     val ranked = graft.api.Dist.bandedRank(o, Seq(), "__cents",
-      "o_orderkey", bandWidth = 2000000L)
+      "o_orderkey", bandWidth = 100000L)
     val n = o.agg(count(lit(1)).as("__n"))
     ranked.crossJoin(broadcast(n))
       .select(col("o_orderkey"),
