@@ -10,7 +10,12 @@ import graft.Tables
   * q_ml_freq_itemsets), the FULL-Pipeline persistence round-trip
   * (save/load of the composed scaler->LR PipelineModel, not just a
   * bare model), and the model-registry metadata readout that makes
-  * the memoized wrapper family queryable.
+  * the memoized wrapper family queryable — plus the family-closer
+  * batch: Normalizer+Binarizer and PolynomialExpansion (the last
+  * pure-projection feature transformers, both oracle-exact),
+  * PowerIterationClustering over an LSH candidate graph (the spectral
+  * clustering family), and hub-safe exact triangle counting over the
+  * stored near-dup candidate graph.
   */
 object Pipeline21 extends graft.QueryModule {
 
