@@ -42,6 +42,8 @@ object SparkEntry {
     operators.Pipeline19,
     operators.Pipeline20,
     operators.Pipeline21,
+    operators.Pipeline22,
+    operators.Pipeline23,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

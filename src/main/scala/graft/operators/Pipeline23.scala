@@ -1,0 +1,336 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.36 round-11 batch 3 — structure-mining closers: k-core
+  * decomposition and common-neighbor link prediction on the stored
+  * candidate graph, robust dispersion (median/MAD/outlier fence),
+  * exact-integer CUSUM changepoint detection, and RAKE keyword
+  * extraction — every key oracle-exact.
+  */
+object Pipeline23 extends graft.QueryModule {
+
+  private def undirected(s: SparkSession, dir: String): DataFrame = {
+    val pairs = s.read.parquet(TextOps.ensureFullPairs(s, dir))
+      .where(col("matches") >= 8).select("d1", "d2")
+    pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+  }
+
+  /** K-CORE decomposition (k = 3, 4 fixed peeling rounds) of the
+    * stored ≥8-band candidate graph — the density filter that
+    * separates template cliques from incidental near-dup pairs:
+    * each round drops nodes with current degree < 3 and every edge
+    * touching them; survivors after 4 rounds are the (approximate
+    * until convergence, exact here — the fixture peels to a fixed
+    * point in <4 rounds, Pipeline23Spec-pinned) 3-core. Output: core
+    * member + degree inside the core.
+    *
+    * 100 TB: each round is one hash agg (degree) + two semi-joins of
+    * the shrinking edge list against the kept-node frame — work is
+    * monotonically DECREASING per round; edge frames are
+    * localCheckpoint'd so round k never replays rounds <k. Fixed
+    * round count (not convergence) keeps the oracle an unrolled CTE
+    * chain. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    var edges = undirected(s, dir).localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 3).select("src").localCheckpoint(true)
+      edges = edges
+        .join(keep, "src")
+        .join(keep.select(col("src").as("dst")), "dst")
+        .select("src", "dst")
+        .localCheckpoint(true)
+    }
+    edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("doc_id"), col("deg"))
+      .orderBy("doc_id")
+  }
+
+  /** COMMON-NEIGHBOR LINK PREDICTION over the candidate graph — the
+    * "probably the same template, no band collision yet" readout:
+    * for every NON-adjacent pair at hop distance 2, the number of
+    * shared neighbors (≥ 2 to bound output) and the neighborhood
+    * Jaccard in exact ppm (cn / (deg(a) + deg(c) − cn)). The dedup
+    * pipeline's candidate-expansion step: these pairs are what a
+    * second, finer verify pass would check first.
+    *
+    * 100 TB: the wedge join is the q_graph_triangles topology
+    * (Σ deg² over a support-sized band graph, all hash equi-joins);
+    * adjacency is removed by one anti-join against the stored pair
+    * list and degrees attach by two more equi-joins. Never
+    * all-pairs. */
+  def graphCommonNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val und = undirected(s, dir).localCheckpoint(true)
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = und.where(col("src") < col("dst"))
+    val wedge = und.select(col("dst").as("a"), col("src").as("w"))
+      .join(und.select(col("src").as("w"), col("dst").as("c")), "w")
+      .where(col("a") < col("c"))
+    wedge.groupBy("a", "c").agg(count(lit(1)).as("cn"))
+      .join(adj.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"), "left_anti")
+      .where(col("cn") >= 2)
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("src").as("c"), col("deg").as("dc")), "c")
+      .select(col("a").as("d1"), col("c").as("d2"), col("cn"),
+        expr("(1000000 * cn) div (da + dc - cn)").as("jaccard_ppm"))
+      .orderBy("d1", "d2")
+  }
+
+  /** ROBUST DISPERSION per order status — median, MAD (median
+    * absolute deviation, the robust σ), and the count beyond the
+    * 3-MAD fence (robust outliers — q_profile_outliers' IQR fence's
+    * heavier-tailed sibling). Exact medians on both engines (Spark 4
+    * median = exact percentile; DuckDB median over DOUBLE), one
+    * rounded rendering at the end — the q_agg_median discipline.
+    *
+    * 100 TB: two grouped exact medians (sort-based within the
+    * 3-status domain) + one broadcast join of the 3-row
+    * (status, med, mad) frame back onto the facts for the fence
+    * count. The KLL twins (q_agg_kll_quantiles) are the sketch path
+    * when the exact per-group sort is too hot. */
+  def aggMad(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderstatus").as("st"),
+        col("o_totalprice").as("x"))
+    val med = base.groupBy("st")
+      .agg(expr("median(x)").as("med"), count(lit(1)).as("cnt"))
+    val dev = base.join(broadcast(med), "st")
+      .withColumn("ad", abs(col("x") - col("med")))
+    val madf = dev.groupBy("st").agg(expr("median(ad)").as("mad"))
+    dev.join(broadcast(madf), "st")
+      .groupBy("st")
+      .agg(max("cnt").as("cnt"), round(max("med"), 4).as("median_total"),
+        round(max("mad"), 4).as("mad"),
+        sum(expr("case when ad > 3 * mad then 1 else 0 end"))
+          .as("n_beyond_3mad"))
+      .select(col("st").as("o_orderstatus"), col("cnt"),
+        col("median_total"), col("mad"), col("n_beyond_3mad"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** CUSUM CHANGEPOINT detection on daily event counts per type —
+    * "when did the level shift": the split point t maximizing
+    * |n·prefix_t − t·total| (the integer-scaled CUSUM statistic
+    * n·Σ_{i≤t}(x_i − μ) — NO floating point: counts, prefix sums and
+    * the statistic are all exact bigints, so the argmax and its
+    * (|D| desc, day asc) tie-break are engine-identical at any
+    * scale). Output per type: series length, changepoint day, the
+    * max |D|, and the mean-shift magnitude |D| div n in counts.
+    *
+    * 100 TB: one full-data daily agg; the cumulative window and
+    * argmax run on the support-sized (type × day) frame, windows
+    * PARTITIONED by type. */
+  def eventsChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.partitionBy("event_type").orderBy("d")
+    val wAll = Window.partitionBy("event_type")
+    val stat = daily
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("prefix", sum("x").over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum("x").over(wAll))
+      .withColumn("dstat",
+        col("n") * col("prefix") - col("t") * col("total"))
+    stat
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("event_type")
+        .orderBy(abs(col("dstat")).desc, col("d").asc)))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("d").as("cp_day"), abs(col("dstat")).as("cusum_abs"),
+        expr("abs(dstat) div n").as("shift_counts"))
+      .orderBy("event_type")
+  }
+
+  /** RAKE KEYWORD extraction (Rapid Automatic Keyword Extraction —
+    * the classic unsupervised keyworder): candidate phrases are
+    * maximal runs of non-stopword tokens (stopwords = the corpus
+    * top-10 by (count desc, token asc), the q_text_stopwords list);
+    * each word scores degree/freq over the doc's phrases (degree =
+    * Σ phrase length over occurrences, freq = occurrence count,
+    * scaled to exact milli via 1000·deg div freq); a phrase scores
+    * the sum of its occurrences' word scores; emit each doc's top
+    * phrase by (score desc, phrase asc). Pure integer arithmetic —
+    * fully oracle-exact.
+    *
+    * 100 TB: tokenize → run-id window (partitioned per doc) → three
+    * hash aggs on (doc, run)/(doc, word) support frames; the
+    * stopword list is a bounded broadcast. */
+  def textRake(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = TextOps.tokens(s, dir)
+    val stop = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc).limit(10)
+      .select("token").withColumn("is_stop", lit(1))
+    val flagged = tok.join(broadcast(stop), Seq("token"), "left")
+      .withColumn("st", coalesce(col("is_stop"), lit(0)))
+      .withColumn("run", sum("st").over(Window.partitionBy("doc_id")
+        .orderBy("ord")))
+    val members = flagged.where(col("st") === 0)
+      .select("doc_id", "run", "ord", "token")
+      .localCheckpoint()
+    val ph = members.groupBy("doc_id", "run")
+      .agg(count(lit(1)).as("len"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(struct(ord, token))), x -> x.token), ' ')")
+          .as("phrase"))
+    val wstat = members
+      .join(ph.select("doc_id", "run", "len"), Seq("doc_id", "run"))
+      .groupBy("doc_id", "token")
+      .agg(sum("len").as("degree"), count(lit(1)).as("freq"))
+      .withColumn("sc", expr("(1000 * degree) div freq"))
+    val psc = members
+      .join(wstat.select("doc_id", "token", "sc"),
+        Seq("doc_id", "token"))
+      .groupBy("doc_id", "run")
+      .agg(sum("sc").as("score_milli"))
+    ph.join(psc, Seq("doc_id", "run"))
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score_milli").desc, col("phrase").asc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("phrase"), col("len").as("n_words"),
+        col("score_milli"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_kcore" -> graphKcore,
+    "q_graph_common_neighbors" -> graphCommonNeighbors,
+    "q_agg_mad" -> aggMad,
+    "q_events_changepoint" -> eventsChangepoint,
+    "q_text_rake" -> textRake)
+
+  private val pairsHead: String =
+    s"""WITH sh AS (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
+      |            FROM (${TextOps.shinglesSql})),
+      |perms(perm, a, b) AS (VALUES ${TextOps.permValuesSql}),
+      |sig AS (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
+      |        FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+      |pairs AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2
+      |          FROM sig s1 JOIN sig s2
+      |            ON s1.perm = s2.perm AND s1.minh = s2.minh
+      |           AND s1.doc_id < s2.doc_id
+      |          GROUP BY d1, d2 HAVING COUNT(*) >= 8),
+      |e0 AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |       UNION ALL SELECT d2, d1 FROM pairs)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_graph_kcore" -> {
+      val steps = (1 to 4).map { i =>
+        s"""n$i AS (SELECT src FROM e${i - 1}
+          |       GROUP BY src HAVING COUNT(*) >= 3),
+          |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+          |       JOIN n$i a ON a.src = e.src
+          |       JOIN n$i b ON b.src = e.dst)""".stripMargin
+      }
+      pairsHead + ",\n" + steps.mkString(",\n") +
+        """
+          |SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+          |FROM e4 GROUP BY src ORDER BY doc_id""".stripMargin
+    },
+    "q_graph_common_neighbors" -> (pairsHead + ",\n" +
+      """deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM e0 GROUP BY src),
+        |wedge AS (SELECT w1.dst AS a, w1.src AS w, w2.dst AS c
+        |          FROM e0 w1 JOIN e0 w2 ON w2.src = w1.src
+        |          WHERE w1.dst < w2.dst),
+        |cn AS (SELECT a, c, CAST(COUNT(*) AS BIGINT) AS cn
+        |       FROM wedge GROUP BY a, c HAVING COUNT(*) >= 2),
+        |nonadj AS (SELECT cn.a, cn.c, cn.cn FROM cn
+        |           LEFT JOIN pairs p ON p.d1 = cn.a AND p.d2 = cn.c
+        |           WHERE p.d1 IS NULL)
+        |SELECT n.a AS d1, n.c AS d2, n.cn,
+        |  CAST((1000000 * n.cn) // (da.deg + dc.deg - n.cn) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM nonadj n JOIN deg da ON da.src = n.a
+        |JOIN deg dc ON dc.src = n.c
+        |ORDER BY d1, d2""".stripMargin),
+    "q_agg_mad" ->
+      """WITH b AS (SELECT o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS x FROM orders),
+        |med AS (SELECT st, median(x) AS med,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY st),
+        |dev AS (SELECT b.st, abs(b.x - med.med) AS ad, med.med,
+        |    med.cnt FROM b JOIN med ON med.st = b.st),
+        |madf AS (SELECT st, median(ad) AS mad FROM dev GROUP BY st)
+        |SELECT dev.st AS o_orderstatus, MAX(dev.cnt) AS cnt,
+        |  ROUND(MAX(dev.med), 4) AS median_total,
+        |  ROUND(MAX(madf.mad), 4) AS mad,
+        |  CAST(SUM(CASE WHEN dev.ad > 3 * madf.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_beyond_3mad
+        |FROM dev JOIN madf ON madf.st = dev.st
+        |GROUP BY dev.st ORDER BY o_orderstatus""".stripMargin,
+    "q_events_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |stat AS (SELECT event_type, d,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS t,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS prefix,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS total
+        |  FROM daily),
+        |ds AS (SELECT event_type, d, n,
+        |    n * prefix - t * total AS dstat FROM stat),
+        |ranked AS (SELECT event_type, n, d, abs(dstat) AS adstat,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(dstat) DESC, d ASC) AS rn
+        |  FROM ds)
+        |SELECT event_type, n AS n_days, d AS cp_day,
+        |  CAST(adstat AS BIGINT) AS cusum_abs,
+        |  CAST(adstat // n AS BIGINT) AS shift_counts
+        |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q_text_rake" ->
+      """WITH tok AS (SELECT doc_id, s AS ord, tokens[s] AS token
+        |  FROM (SELECT doc_id, tokens,
+        |          unnest(range(1, len(tokens)+1)) AS s
+        |        FROM (SELECT doc_id, str_split(lower(text), ' ') AS tokens
+        |              FROM documents))
+        |  WHERE tokens[s] <> ''),
+        |stop AS (SELECT token FROM (
+        |    SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+        |    ORDER BY c DESC, token ASC LIMIT 10)),
+        |flagged AS (SELECT doc_id, ord, token,
+        |    CASE WHEN token IN (SELECT token FROM stop)
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM tok),
+        |runs AS (SELECT doc_id, ord, token, st,
+        |    SUM(st) OVER (PARTITION BY doc_id ORDER BY ord) AS run
+        |  FROM flagged),
+        |members AS (SELECT doc_id, run, ord, token
+        |            FROM runs WHERE st = 0),
+        |ph AS (SELECT doc_id, run, CAST(COUNT(*) AS BIGINT) AS len,
+        |    string_agg(token, ' ' ORDER BY ord) AS phrase
+        |  FROM members GROUP BY doc_id, run),
+        |wstat AS (SELECT m.doc_id, m.token,
+        |    CAST(SUM(p.len) AS BIGINT) AS degree,
+        |    CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM members m JOIN ph p
+        |    ON p.doc_id = m.doc_id AND p.run = m.run
+        |  GROUP BY m.doc_id, m.token),
+        |psc AS (SELECT m.doc_id, m.run,
+        |    CAST(SUM((1000 * w.degree) // w.freq) AS BIGINT)
+        |      AS score_milli
+        |  FROM members m JOIN wstat w
+        |    ON w.doc_id = m.doc_id AND w.token = m.token
+        |  GROUP BY m.doc_id, m.run),
+        |ranked AS (SELECT ph.doc_id, ph.phrase, ph.len,
+        |    psc.score_milli,
+        |    row_number() OVER (PARTITION BY ph.doc_id
+        |      ORDER BY psc.score_milli DESC, ph.phrase ASC) AS rn
+        |  FROM ph JOIN psc
+        |    ON psc.doc_id = ph.doc_id AND psc.run = ph.run)
+        |SELECT doc_id, phrase, len AS n_words, score_milli
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+}
