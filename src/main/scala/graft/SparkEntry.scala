@@ -44,6 +44,7 @@ object SparkEntry {
     operators.Pipeline21,
     operators.Pipeline22,
     operators.Pipeline23,
+    operators.Pipeline24,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -111,7 +111,11 @@ object VectorOps extends graft.QueryModule {
     * side effect). */
   def warmSharedFits(s: SparkSession, dir: String): Unit = {
     kmeansTarget(s, dir); scalerLrModel(s, dir)
-    Pipeline10.rfModel(s, dir); ()
+    Pipeline10.rfModel(s, dir)
+    // the seeded block-ALS factorization (r12): shared by the probe
+    // readout and the recommendForAllUsers batch scorer — the model
+    // artifact is built once untimed; both keys time their readouts
+    Pipeline10.alsArtifacts(s, dir); ()
   }
 
   /** Brute-force cosine top-5 for 20 probe vectors — the exactness
