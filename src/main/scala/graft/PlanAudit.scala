@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.{InputAdapter, LocalLimitExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -27,39 +28,68 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerg
   * documented bounded-frame whitelist entry below. */
 object PlanAudit {
 
-  /** Keys whose plan carries a SinglePartition exchange over a frame
+  /** Keys whose plan carries SinglePartition exchanges over frames
     * whose ROW COUNT IS A DOMAIN CONSTANT (replicate count, capped
     * vocab, step count, band grid — never a function of input rows),
-    * each with its documented bound. These funnels move O(constant)
-    * rows through one task and are scale-safe by construction. */
-  val boundedSinglePartition: Map[String, String] = Map(
-    "q_ml_bootstrap_ci" ->
-      "order statistic over the 32-row replicate-mean frame",
+    * each with its documented bound AND the exact funnel count the
+    * documentation covers (ADVICE r11: a whole-key whitelist would
+    * silently pass a SECOND, genuinely row-scale funnel added to a
+    * listed key later — the audit now fails when the count grows
+    * past the pinned one). These funnels move O(constant) rows
+    * through one task and are scale-safe by construction. */
+  val boundedSinglePartition: Map[String, (String, Int)] = Map(
+    // q_ml_bootstrap_ci is NOT listed (ADVICE r11: it sat on both
+    // whitelists): its 32-row order-statistic exchange classifies as
+    // benign (partial-agg child), so its row-scale funnel count is 0
+    // and any future genuine funnel there now fails the audit.
     "q_ml_feature_onehot" ->
-      "StringIndexer frequency rank over the 5-value c_mktsegment domain",
+      ("StringIndexer frequency rank over the 5-value c_mktsegment domain",
+        1),
     "q_pipeline_corpus" ->
-      "stage-survival lag over the <= |stages| (5) per-stage count frame",
+      ("stage-survival lag over the <= |stages| (5) per-stage count frame",
+        1),
     "q_ml_pic" ->
-      "size-rank over the <= k (4) cluster-size frame")
+      ("size-rank over the <= k (4) cluster-size frame", 1))
 
-  /** Keys whose plan carries a BroadcastNestedLoopJoin whose broadcast
+  /** Keys whose plan carries a CartesianProduct that is BLOCK-scale
+    * by construction, with its documented bound. Normally a hard
+    * offense: the only listed case is MLlib's recommendForAllUsers,
+    * whose cross join runs over 4096-row FACTOR BLOCKS
+    * (⌈users/4096⌉ × ⌈items/4096⌉ tiles, each a local GEMM + bounded
+    * per-user top-k heap) — dense batch scoring inherently touches
+    * every user-block × item-block pair; the blocked cartesian IS the
+    * intended production plan, not a row-scale blowup. */
+  val boundedCartesian: Map[String, (String, Int)] = Map(
+    "q_ml_als_recommend_all" ->
+      ("recommendForAllUsers blocked top-k: 4096-row factor-block tiles",
+        1))
+
+  /** Keys whose plan carries BroadcastNestedLoopJoins whose broadcast
     * side is a scalar/probe/quota frame bounded by construction —
-    * the `crossJoin(broadcast(tiny))` scalar-attach pattern. The
-    * per-key bound table lives in PLAN_AUDIT.md. */
-  val boundedBnlj: Set[String] = Set(
-    "q_events_hazard", "q_events_rfm", "q_join_cross_topk",
-    "q_ml_ab_ttest", "q_ml_aft_survival", "q_ml_als_topk", "q_ml_auc",
-    "q_ml_avg_precision", "q_ml_bootstrap_ci", "q_ml_chisq",
-    "q_ml_feature_select", "q_ml_kappa_mcc", "q_ml_lift_gains",
-    "q_ml_pr_curve", "q_ml_ranking_metrics", "q_ml_target_encoder",
-    "q_ml_tree_stump", "q_pipeline_corpus", "q_pipeline_output",
-    "q_profile_benford", "q_profile_columns", "q_profile_drift",
-    "q_profile_freshness", "q_profile_join_card",
-    "q_profile_shard_balance", "q_profile_skew", "q_sample_balanced",
-    "q_sample_pps", "q_sample_temperature", "q_sim_ann_pq",
-    "q_sim_cosine_topk", "q_text_collocations", "q_text_perplexity",
-    "q_text_tfidf", "q_text_word2vec", "q_time_interp",
-    "q_vec_bucketize", "q_vec_bucketize_cuts", "q_graph_triangles")
+    * the `crossJoin(broadcast(tiny))` scalar-attach pattern — with
+    * the exact BNLJ count the documentation covers (same ADVICE r11
+    * count-pinning as above). The per-key bound table lives in
+    * PLAN_AUDIT.md. */
+  val boundedBnlj: Map[String, Int] = Map(
+    "q_events_hazard" -> 1, "q_events_rfm" -> 1,
+    "q_join_cross_topk" -> 1, "q_ml_ab_ttest" -> 1,
+    "q_ml_aft_survival" -> 1, "q_ml_als_topk" -> 1, "q_ml_auc" -> 2,
+    "q_ml_avg_precision" -> 2, "q_ml_bootstrap_ci" -> 3,
+    "q_ml_chisq" -> 1, "q_ml_feature_select" -> 1,
+    "q_ml_kappa_mcc" -> 1, "q_ml_lift_gains" -> 1,
+    "q_ml_pr_curve" -> 2, "q_ml_ranking_metrics" -> 1,
+    "q_ml_target_encoder" -> 1, "q_ml_tree_stump" -> 2,
+    "q_pipeline_corpus" -> 1, "q_pipeline_output" -> 1,
+    "q_profile_benford" -> 1, "q_profile_columns" -> 1,
+    "q_profile_drift" -> 8, "q_profile_freshness" -> 1,
+    "q_profile_join_card" -> 1, "q_profile_shard_balance" -> 1,
+    "q_profile_skew" -> 3, "q_sample_balanced" -> 1,
+    "q_sample_pps" -> 2, "q_sample_temperature" -> 1,
+    "q_sim_ann_pq" -> 1, "q_sim_cosine_topk" -> 1,
+    "q_text_collocations" -> 2, "q_text_perplexity" -> 1,
+    "q_text_tfidf" -> 1, "q_text_word2vec" -> 1,
+    "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
+    "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */
@@ -81,26 +111,56 @@ object PlanAudit {
     case _ => false
   }
 
+  /** Every node of `p`, with subqueries AND AQE wrappers expanded.
+    * AdaptiveSparkPlanExec is a LEAF node — a plain collect stops at
+    * the wrapper and sees nothing inside (exactly how a warm
+    * memoized-model frame from an AQE-on session silently passed the
+    * r11 audit). Its pre-execution executedPlan is the initialPlan
+    * with queryStagePreparationRules (incl. EnsureRequirements)
+    * applied, so exchanges are real — recurse into it. */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case n => Seq(n)
+    }
+
   /** Offense labels for one key's built plan (empty = clean), plus the
-    * count of benign global-agg SinglePartition exchanges seen. */
+    * count of benign global-agg SinglePartition exchanges seen.
+    * Cartesian / BNLJ / non-benign SinglePartition funnels are
+    * COUNTED and compared against the key's whitelist bound (0 when
+    * unlisted) — an extra funnel on a whitelisted key is an offense,
+    * not a pass (ADVICE r11). */
   def auditOne(spark: SparkSession, sfDir: String,
       name: String): (Seq[String], Int) = {
     val plan = SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan
-    val nodes = plan.collectWithSubqueries { case p => p }
+    val nodes = allNodes(plan)
     var benignSp = 0
+    var bnlj = 0
+    var cartesian = 0
+    val spChildren = Seq.newBuilder[String]
     val offenses = Seq.newBuilder[String]
     nodes.foreach {
       case _: CartesianProductExec =>
-        offenses += "CartesianProduct"
-      case _: BroadcastNestedLoopJoinExec if !boundedBnlj(name) =>
-        offenses += "BroadcastNestedLoopJoin"
+        cartesian += 1
+      case _: BroadcastNestedLoopJoinExec =>
+        bnlj += 1
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
         if (boundedChild(e.child)) benignSp += 1
-        else if (!boundedSinglePartition.contains(name))
-          offenses += s"row-scale SinglePartition over ${unwrap(e.child).nodeName}"
+        else spChildren += unwrap(e.child).nodeName
       case _ => ()
     }
+    val cartAllowed = boundedCartesian.get(name).map(_._2).getOrElse(0)
+    if (cartesian > cartAllowed)
+      offenses += s"CartesianProduct x$cartesian (documented: $cartAllowed)"
+    val bnljAllowed = boundedBnlj.getOrElse(name, 0)
+    if (bnlj > bnljAllowed)
+      offenses += s"BroadcastNestedLoopJoin x$bnlj (documented: $bnljAllowed)"
+    val sp = spChildren.result()
+    val spAllowed = boundedSinglePartition.get(name).map(_._2).getOrElse(0)
+    if (sp.size > spAllowed)
+      offenses += s"row-scale SinglePartition x${sp.size} over " +
+        s"${sp.mkString("/")} (documented: $spAllowed)"
     (offenses.result(), benignSp)
   }
 
@@ -126,8 +186,8 @@ object PlanAudit {
         benignTotal += benignSp
         if (offenses.isEmpty) {
           clean += 1
-          boundedSinglePartition.get(name).foreach(bound =>
-            println(s"AUDIT $name: bounded SinglePartition WHITELISTED ($bound)"))
+          boundedSinglePartition.get(name).foreach { case (bound, n) =>
+            println(s"AUDIT $name: bounded SinglePartition x$n WHITELISTED ($bound)") }
         } else println(s"AUDIT $name: ${offenses.mkString(", ")}")
       } catch {
         case e: Throwable => println(s"AUDIT $name: PLAN FAILED ${e.getMessage}")

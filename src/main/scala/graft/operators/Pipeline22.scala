@@ -194,9 +194,13 @@ object Pipeline22 extends graft.QueryModule {
     * an exponentially-weighted smoother with NO floating point
     * anywhere: each day contributes v·2^(31−k) to the day k ahead,
     * the weighted sum is an exact bigint, and the normalizer is the
-    * constant Σ 2^j = 2^32 − 1 — so the smoother is bit-identical on
-    * any engine at any scale (headroom: daily cents < 2^22 at sf0.1;
-    * the weighted sum stays < 2^54, far under int64).
+    * constant Σ 2^j = 2^32 − 1 — bit-identical on any engine UNDER
+    * THE DOCUMENTED PRECONDITION (ADVICE r11): each per-(type, day)
+    * cents sum v must stay below 2^31, else v·2^31 exceeds int64 —
+    * where Spark wraps silently while DuckDB raises. The bound is
+    * $21.4M revenue per type-day (daily cents < 2^22 at sf0.1, ~500×
+    * headroom; a corpus past it would pre-scale v to dollars or
+    * widen the contributions to decimal(38,0) before the shift).
     *
     * 100 TB: one full-data daily agg; the 32-way offset explode and
     * re-agg run on the support-sized (type × day) frame, the

@@ -140,6 +140,9 @@ class Pipeline22Spec extends AnyFunSuite {
       .collect()
       .map(r => (r.getString(0), r.getDate(1).toLocalDate) -> r.getLong(2))
       .toMap
+    // documented int64 precondition: per-(type, day) cents < 2^31
+    // (above it v << 31 would wrap — the doc-comment contract)
+    assert(daily.values.forall(_ < (1L << 31)))
     val rs = run("q_time_ewma").collect()
     assert(rs.length == daily.size)
     rs.foreach { r =>

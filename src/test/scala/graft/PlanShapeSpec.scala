@@ -279,6 +279,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // exchanges — child is a partial agg (O(#tasks) rows) or a
     // LocalLimit — pass; anything else must carry a documented bound
     // in PlanAudit.boundedSinglePartition / boundedBnlj.
+    // VERDICT r11 #10 — graph-family honesty pin: every q_graph_* key
+    // must stay pure equi-join over the stored pair frame as the
+    // family grows. The only funnel any graph key may carry is
+    // q_graph_triangles' documented scalar-attach BNLJs; a new graph
+    // key CANNOT be quietly whitelisted past this suite-level set pin.
+    val graphKeys = SparkEntry.queries.keys.filter(_.startsWith("q_graph_"))
+    assert(graphKeys.filter(PlanAudit.boundedBnlj.contains).toSet ==
+      Set("q_graph_triangles"))
+    assert(!graphKeys.exists(PlanAudit.boundedSinglePartition.contains))
+    assert(!graphKeys.exists(PlanAudit.boundedCartesian.contains))
+
     val audit = spark.newSession()
     audit.conf.set("spark.sql.adaptive.enabled", "false")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
