@@ -224,13 +224,21 @@ object Pipeline10 extends graft.QueryModule {
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame)]()
 
-  private[operators] def alsArtifacts(s: SparkSession, dir: String):
+  private[graft] def alsArtifacts(s: SparkSession, dir: String):
       (org.apache.spark.ml.recommendation.ALSModel,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) =
     alsMemo.computeIfAbsent(
       s.sparkContext.applicationId + "|" + dir,
-      _ => {
+      _ => buildAlsArtifacts(s, dir))
+
+  /** The actual (unmemoized) build — package-visible so Pipeline10Spec
+    * can pin FIT determinism against an independent rebuild (the memo
+    * would otherwise make the spec's refit comparison vacuous). */
+  private[graft] def buildAlsArtifacts(s: SparkSession, dir: String):
+      (org.apache.spark.ml.recommendation.ALSModel,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
         import org.apache.spark.ml.recommendation.ALS
         val raw = Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"))
@@ -256,7 +264,7 @@ object Pipeline10 extends graft.QueryModule {
           .setUserCol("cid").setItemCol("pid").setRatingCol("cnt")
           .fit(ratings)
         (model, cids, pids, ratings)
-      })
+      }
 
   def mlAlsTopk(s: SparkSession, dir: String): DataFrame = {
     val (model, _, pids, ratings) = alsArtifacts(s, dir)

@@ -78,7 +78,14 @@ class Pipeline10Spec extends AnyFunSuite {
   test("als topk: deterministic refit, known items excluded, full coverage") {
     val a = rows("q_ml_als_topk")
     val b = rows("q_ml_als_topk")
-    assert(a == b, "seeded ALS fit must be deterministic run-to-run")
+    assert(a == b, "readout must be deterministic over the memoized fit")
+    // the r12 memo hides refits from the graded path — pin FIT
+    // determinism against an INDEPENDENT rebuild (same seed/params)
+    val (m1, _, _, _) = operators.Pipeline10.alsArtifacts(spark, dir)
+    val (m2, _, _, _) = operators.Pipeline10.buildAlsArtifacts(spark, dir)
+    val f1 = m1.userFactors.orderBy("id").collect().map(_.toString).toSeq
+    val f2 = m2.userFactors.orderBy("id").collect().map(_.toString).toSeq
+    assert(f1 == f2, "independent seeded ALS fits must agree factor-exact")
     val df = run("q_ml_als_topk").cache()
     val seen = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
