@@ -155,13 +155,56 @@ object Pipeline24 extends graft.QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** STRING-INDEXER ROUND-TRIP (spark.ml StringIndexer +
+    * IndexToString — the inverse-mapping half of the prep entry
+    * points, beside q_ml_rformula's formula half and
+    * q_ml_feature_onehot's hand-rolled index semantics): index the
+    * 5-value segment domain through the REAL estimator
+    * (frequencyDesc, ties alphabetical), map the codes straight back
+    * through IndexToString with the fitted labels — the
+    * predictions-to-labels rendering step every classification
+    * pipeline ends with — and emit the round-trip agreement flag.
+    * Fully oracle-exact.
+    *
+    * 100 TB: the fit is one bounded 5-row domain agg; transform and
+    * inverse map are narrow projections over a broadcast label
+    * table. */
+  def mlIndexToString(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{IndexToString, StringIndexer}
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val model = new StringIndexer()
+      .setInputCol("c_mktsegment").setOutputCol("sidx")
+      .setStringOrderType("frequencyDesc")
+      .fit(cust)
+    val back = new IndexToString()
+      .setInputCol("sidx").setOutputCol("seg_back")
+      .setLabels(model.labelsArray(0))
+    back.transform(model.transform(cust))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("sidx").cast("long").as("sidx"), col("seg_back"),
+        (col("seg_back") === col("c_mktsegment")).as("roundtrip_ok"))
+      .orderBy("c_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_als_recommend_all" -> mlAlsRecommendAll,
     "q_sim_minhash_lsh" -> simMinhashLsh,
     "q_ml_rformula" -> mlRformula,
+    "q_ml_index_to_string" -> mlIndexToString,
     "q_agg_mad_kll" -> aggMadKll)
 
   def oracleSql: Map[String, String] = Map(
+    "q_ml_index_to_string" ->
+      """WITH idx AS (
+        |  SELECT c_mktsegment,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+        |      c_mktsegment ASC) - 1 AS BIGINT) AS sidx
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_custkey, c_mktsegment, sidx,
+        |  c_mktsegment AS seg_back, TRUE AS roundtrip_ok
+        |FROM customer JOIN idx USING (c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
     "q_ml_rformula" ->
       """WITH idx AS (
         |  SELECT c_mktsegment,

@@ -98,6 +98,18 @@ class Pipeline24Spec extends AnyFunSuite {
     }
   }
 
+  test("index-to-string: lossless round-trip, frequency-desc codes") {
+    val rs = run("q_ml_index_to_string").collect()
+    assert(rs.length == Tables.customer(spark, dir).count())
+    assert(rs.forall(_.getBoolean(4)), "IndexToString must invert exactly")
+    assert(rs.forall(r => r.getString(1) == r.getString(3)))
+    // codes are the (frequency desc, value asc) rank — same contract
+    // the oracle pins; re-derive independently to keep the ring honest
+    val sidx = rs.groupBy(_.getString(1)).view.mapValues(_.size).toSeq
+      .sortBy { case (v, c) => (-c, v) }.map(_._1).zipWithIndex.toMap
+    assert(rs.forall(r => r.getLong(2) == sidx(r.getString(1)).toLong))
+  }
+
   test("mad kll: rank-band contract vs the true group values") {
     val eps = 0.05 // k=200 normalized rank error is ~1.3%; 5% is safe
     val vals = Tables.orders(spark, dir)
