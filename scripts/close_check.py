@@ -41,8 +41,17 @@ def main():
                         capture_output=True, text=True, check=True).stdout
     for line in st.splitlines():
         status, path = line[:2], line[3:].strip()
+        # rename lines are 'R  old -> new' — the artifact check and the
+        # message should see the NEW path (ADVICE r12)
+        if " -> " in path:
+            path = path.split(" -> ", 1)[1]
         if any(path.startswith(a) or path == a for a in ARTIFACTS):
-            kind = "UNTRACKED" if status == "??" else "MODIFIED-UNCOMMITTED"
+            if status == "??":
+                kind = "UNTRACKED"
+            elif status[0] in "ARC" and status[1] == " ":
+                kind = "STAGED-UNCOMMITTED"
+            else:
+                kind = "MODIFIED-UNCOMMITTED"
             failures.append(f"  {kind} {path}")
 
     with open(bench_path) as f:

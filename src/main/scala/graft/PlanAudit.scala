@@ -124,14 +124,17 @@ object PlanAudit {
       case n => Seq(n)
     }
 
-  /** Offense labels for one key's built plan (empty = clean), plus the
+  /** Offense labels for one key's built plan (empty = clean), plus
+    * STALE-WHITELIST warnings (observed funnel count BELOW the pinned
+    * one — the documentation no longer matches the real plan; ADVICE
+    * r12 closed the asymmetry with the over-count offense) and the
     * count of benign global-agg SinglePartition exchanges seen.
     * Cartesian / BNLJ / non-benign SinglePartition funnels are
     * COUNTED and compared against the key's whitelist bound (0 when
     * unlisted) — an extra funnel on a whitelisted key is an offense,
     * not a pass (ADVICE r11). */
   def auditOne(spark: SparkSession, sfDir: String,
-      name: String): (Seq[String], Int) = {
+      name: String): (Seq[String], Seq[String], Int) = {
     val plan = SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan
     val nodes = allNodes(plan)
@@ -150,18 +153,25 @@ object PlanAudit {
         else spChildren += unwrap(e.child).nodeName
       case _ => ()
     }
+    val stale = Seq.newBuilder[String]
     val cartAllowed = boundedCartesian.get(name).map(_._2).getOrElse(0)
     if (cartesian > cartAllowed)
       offenses += s"CartesianProduct x$cartesian (documented: $cartAllowed)"
+    else if (cartesian < cartAllowed)
+      stale += s"CartesianProduct x$cartesian < pinned $cartAllowed"
     val bnljAllowed = boundedBnlj.getOrElse(name, 0)
     if (bnlj > bnljAllowed)
       offenses += s"BroadcastNestedLoopJoin x$bnlj (documented: $bnljAllowed)"
+    else if (bnlj < bnljAllowed)
+      stale += s"BroadcastNestedLoopJoin x$bnlj < pinned $bnljAllowed"
     val sp = spChildren.result()
     val spAllowed = boundedSinglePartition.get(name).map(_._2).getOrElse(0)
     if (sp.size > spAllowed)
       offenses += s"row-scale SinglePartition x${sp.size} over " +
         s"${sp.mkString("/")} (documented: $spAllowed)"
-    (offenses.result(), benignSp)
+    else if (sp.size < spAllowed)
+      stale += s"row-scale SinglePartition x${sp.size} < pinned $spAllowed"
+    (offenses.result(), stale.result(), benignSp)
   }
 
   def main(args: Array[String]): Unit = {
@@ -182,8 +192,9 @@ object PlanAudit {
     var benignTotal = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, _) =>
       try {
-        val (offenses, benignSp) = auditOne(spark, sfDir, name)
+        val (offenses, stale, benignSp) = auditOne(spark, sfDir, name)
         benignTotal += benignSp
+        stale.foreach(w => println(s"AUDIT $name: STALE-WHITELIST $w"))
         if (offenses.isEmpty) {
           clean += 1
           boundedSinglePartition.get(name).foreach { case (bound, n) =>

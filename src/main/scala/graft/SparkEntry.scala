@@ -45,6 +45,7 @@ object SparkEntry {
     operators.Pipeline22,
     operators.Pipeline23,
     operators.Pipeline24,
+    operators.Pipeline25,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -145,7 +145,13 @@ object Pipeline11 extends graft.QueryModule {
 
   /** Corpus text NORMALIZATION — the canonical-form step every exact
     * dedup key implicitly depends on: lowercase, strip every
-    * non-[a-z0-9 ] codepoint to space, collapse runs, trim; emit the
+    * non-LETTER/DIGIT codepoint to space (Unicode classes
+    * `\p{L}\p{N}`, NOT ascii [a-z0-9] — VERDICT r12 #1: the ASCII
+    * class erased every zh document and any accented token toward
+    * the empty string, so the whole non-Latin corpus shared
+    * md5('')-class fingerprints; Java regex and DuckDB's RE2 agree
+    * on the `\p{L}`/`\p{N}` general categories, Pipeline11Spec pins
+    * non-empty zh canonical forms), collapse runs, trim; emit the
     * md5 of the canonical form (the dedup key a normalized
     * q_dedup_exact would group on), its char length and token count.
     * Pure codegen'd projection — two regex passes + md5 per row, no
@@ -157,9 +163,8 @@ object Pipeline11 extends graft.QueryModule {
     * rule). */
   def textNormalize(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("norm", expr(
-        "trim(regexp_replace(regexp_replace(lower(text)," +
-          " '[^a-z0-9 ]', ' '), ' +', ' '))"))
+      .withColumn("norm", trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^\\p{L}\\p{N} ]", " "), " +", " ")))
       .select(col("doc_id"), md5(col("norm")).as("fp_md5"),
         length(col("norm")).cast("long").as("n_chars_norm"),
         when(col("norm") === "", 0L)
@@ -535,7 +540,7 @@ object Pipeline11 extends graft.QueryModule {
       """WITH n AS (
         |  SELECT doc_id,
         |    TRIM(regexp_replace(regexp_replace(LOWER(text),
-        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |      '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents)
         |SELECT doc_id, md5(norm) AS fp_md5,
         |  CAST(LENGTH(norm) AS BIGINT) AS n_chars_norm,

@@ -235,7 +235,7 @@ object Pipeline23 extends graft.QueryModule {
     "q_events_changepoint" -> eventsChangepoint,
     "q_text_rake" -> textRake)
 
-  private val pairsHead: String =
+  private[operators] val pairsHead: String =
     s"""WITH sh AS (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
       |            FROM (${TextOps.shinglesSql})),
       |perms(perm, a, b) AS (VALUES ${TextOps.permValuesSql}),
@@ -264,9 +264,11 @@ object Pipeline23 extends graft.QueryModule {
           |FROM e4 GROUP BY src ORDER BY doc_id""".stripMargin
     },
     "q_graph_common_neighbors" -> (pairsHead + ",\n" +
-      """deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+      // the hub cap is interpolated from cnHubCap so engine and oracle
+      // cannot desynchronize if the cap moves (ADVICE r12)
+      s"""deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
         |        FROM e0 GROUP BY src),
-        |low AS (SELECT src FROM deg WHERE deg <= 64),
+        |low AS (SELECT src FROM deg WHERE deg <= $cnHubCap),
         |wedge AS (SELECT w1.dst AS a, w1.src AS w, w2.dst AS c
         |          FROM e0 w1 JOIN low ON low.src = w1.src
         |          JOIN e0 w2 ON w2.src = w1.src

@@ -33,7 +33,13 @@ object Pipeline24 extends graft.QueryModule {
     * cross-join — and the dictionary joins are hash equi-joins. */
   def mlAlsRecommendAll(s: SparkSession, dir: String): DataFrame = {
     val (model, cids, pids, _) = Pipeline10.alsArtifacts(s, dir)
-    val recs = model.recommendForAllUsers(3)
+    // top-5 HEADROOM, final 3 chosen by the deterministic (score 6dp
+    // desc, part asc) order (ADVICE r12): which items enter MLlib's
+    // internal top-k heap at a raw-float score tie depends on block
+    // processing order, so asking for exactly 3 would make the graded
+    // rows heap-order-dependent at ties; with headroom the re-rank
+    // below owns the cut.
+    val recs = model.recommendForAllUsers(5)
       .select(col("cid"), explode(col("recommendations")).as("r"))
       .select(col("cid"), col("r.pid").as("pid"),
         round(col("r.rating").cast("double"), 6).as("score"))
@@ -41,6 +47,7 @@ object Pipeline24 extends graft.QueryModule {
       .orderBy(col("score").desc, col("part").asc)
     recs.join(cids, "cid").join(pids, "pid")
       .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
       .select(col("cust").cast("long").as("cust"), col("rank"),
         col("part").cast("long").as("part"), col("score"))
       .orderBy("cust", "rank")

@@ -115,7 +115,12 @@ object VectorOps extends graft.QueryModule {
     // the seeded block-ALS factorization (r12): shared by the probe
     // readout and the recommendForAllUsers batch scorer — the model
     // artifact is built once untimed; both keys time their readouts
-    Pipeline10.alsArtifacts(s, dir); ()
+    Pipeline10.alsArtifacts(s, dir)
+    // the FPGrowth full-lattice mine (r13): shared by the itemset
+    // readout and the association-rules readout — the board's
+    // heaviest fit (~21 CPU-s at sf0.1) built once untimed; both
+    // keys time their readouts over the support-sized lattice frame
+    Pipeline10.fpModel(s, dir); ()
   }
 
   /** Brute-force cosine top-5 for 20 probe vectors — the exactness

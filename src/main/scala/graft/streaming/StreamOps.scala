@@ -141,6 +141,45 @@ object StreamOps extends graft.QueryModule {
         col("n"), expr(s"(($l1) * 100000) div n").as("l1_uniform_ppm"))
   }
 
+  /** CLICK → PURCHASE LEFT-OUTER attribution pairs — the
+    * watermark-driven null-emission stream-stream join (VERDICT r12
+    * #6, the semantics users actually get wrong): every click with
+    * every same-user purchase landing in [click_ts, click_ts+30 min),
+    * or ONE null-purchase row when none exists. Split into
+    * side-builders + a join builder so StreamingSpec runs the
+    * IDENTICAL join through MemoryStream with watermarks on both
+    * sides — there the unmatched-click row is emitted only once the
+    * watermark passes click_ts + 30 min (spec-pinned with crafted
+    * late batches: no null row while a match can still arrive). On
+    * complete data the batch twin is a plain range left join —
+    * graded, oracle-checked.
+    *
+    * 100 TB: equi-key user_id → partitioned sort-merge join with the
+    * time range as residual, never a cross product; streaming state
+    * is watermark-bounded (each side buffers ≤ 30 min + delay). */
+  def loClicks(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+
+  def loPurchases(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+
+  def leftOuterAttribution(clicks: DataFrame,
+      purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        col("purchase_id").isNotNull.as("matched"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("latency_us"))
+
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -159,9 +198,27 @@ object StreamOps extends graft.QueryModule {
     "q_stream_freq_topk" -> ((s, d) => freqTopk(ev(s, d))
       .orderBy("window_start", "rank")),
     "q_stream_upsert" -> ((s, d) => upsertLatest(ev(s, d))
-      .orderBy("user_id")))
+      .orderBy("user_id")),
+    "q_stream_left_outer" -> ((s, d) =>
+      leftOuterAttribution(loClicks(ev(s, d)), loPurchases(ev(s, d)))
+        .orderBy("click_id", "purchase_id")))
 
   def oracleSql: Map[String, String] = Map(
+    "q_stream_left_outer" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |             ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+        |        ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id,
+        |  p.purchase_ts,
+        |  p.purchase_id IS NOT NULL AS matched,
+        |  epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS latency_us
+        |FROM c LEFT JOIN p ON p.p_user = c.user_id
+        |  AND p.purchase_ts >= c.click_ts
+        |  AND p.purchase_ts < c.click_ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
     "q_stream_drift" ->
       """WITH b AS (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -69,14 +69,13 @@ class Pipeline11Spec extends AnyFunSuite {
   }
 
   test("normalize: canonical form is a fixpoint and token math holds") {
+    def canon(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(
+        lower(c), "[^\\p{L}\\p{N} ]", " "), " +", " "))
     val norm = Tables.documents(spark, dir)
-      .withColumn("norm", expr(
-        "trim(regexp_replace(regexp_replace(lower(text)," +
-          " '[^a-z0-9 ]', ' '), ' +', ' '))"))
+      .withColumn("norm", canon(col("text")))
     // idempotent: normalizing the canonical form changes nothing
-    val again = norm.withColumn("norm2", expr(
-      "trim(regexp_replace(regexp_replace(lower(norm)," +
-        " '[^a-z0-9 ]', ' '), ' +', ' '))"))
+    val again = norm.withColumn("norm2", canon(col("norm")))
     assert(again.where(col("norm") =!= col("norm2")).count() == 0)
     val df = run("q_text_normalize")
     // tokens = spaces + 1 on the non-empty canonical form
@@ -86,6 +85,25 @@ class Pipeline11Spec extends AnyFunSuite {
         "length(norm) - length(replace(norm, ' ', '')) + 1"))
     assert(bad.count() == 0)
     assert(df.select("doc_id").distinct().count() == df.count())
+  }
+
+  test("normalize: Unicode classes keep every non-Latin doc (VERDICT r12 #1)") {
+    // the r12 ASCII class [^a-z0-9 ] collapsed every zh doc to the
+    // empty canonical form (all sharing md5('')-class fingerprints);
+    // \p{L}\p{N} must keep them — EVERY fixture doc has a non-empty
+    // canonical form, and zh forms are pairwise distinct like the
+    // raw texts.
+    val df = run("q_text_normalize")
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"),
+        "doc_id").cache()
+    try {
+      assert(df.where(col("lang") === "zh").count() > 0)
+      assert(df.where(col("n_chars_norm") === 0).count() == 0,
+        "no doc may normalize to the empty string")
+      val zh = df.where(col("lang") === "zh")
+      assert(zh.select("fp_md5").distinct().count() > 1,
+        "zh docs must not share one canonical fingerprint")
+    } finally { df.unpersist(); () }
   }
 
   test("markov: per-src ppm shares near 1e6; counts conserve transitions") {

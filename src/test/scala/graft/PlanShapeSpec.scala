@@ -294,8 +294,12 @@ class PlanShapeSpec extends AnyFunSuite {
     audit.conf.set("spark.sql.adaptive.enabled", "false")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {
-        val (offenses, _) = PlanAudit.auditOne(audit, dir, name)
-        if (offenses.isEmpty) None else Some(s"$name: ${offenses.mkString(", ")}")
+        // STALE-WHITELIST (ADVICE r12) fails the suite too: a pinned
+        // funnel that disappeared means the documentation no longer
+        // matches the real plan — exactness is enforced BOTH ways.
+        val (offenses, stale, _) = PlanAudit.auditOne(audit, dir, name)
+        val all = offenses ++ stale.map("STALE-WHITELIST " + _)
+        if (all.isEmpty) None else Some(s"$name: ${all.mkString(", ")}")
       } catch {
         case e: Throwable => Some(s"$name: PLAN FAILED ${e.getMessage}")
       }
