@@ -46,6 +46,7 @@ object SparkEntry {
     operators.Pipeline23,
     operators.Pipeline24,
     operators.Pipeline25,
+    operators.Pipeline26,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -17,7 +17,7 @@ import graft.Tables
 object Pipeline25 extends graft.QueryModule {
 
   /** ASSOCIATION RULES over the shared FPGrowth lattice
-    * (Pipeline10.fpModel — the consumable half of the market-basket
+    * (Pipeline10.fpArtifacts — the consumable half of the market-basket
     * miner; q_ml_freq_itemsets is the itemset half): every
     * 1-item → 1-item rule derivable from the frequent pairs, with
     * confidence and lift as EXACT integer ppm rationals —
@@ -40,10 +40,7 @@ object Pipeline25 extends graft.QueryModule {
     * support-sized singles frame onto the pair frame — anti-monotone
     * support guarantees every pair item exists in singles. */
   def mlAssocRules(s: SparkSession, dir: String): DataFrame = {
-    val fi = Pipeline10.fpModel(s, dir).freqItemsets
-      .where(size(col("items")) <= 2)
-      .withColumn("its", array_sort(col("items")))
-      .localCheckpoint() // support-sized; feeds singles + pairs below
+    val fi = Pipeline10.fpArtifacts(s, dir)._2 // the checkpointed lattice
     val singles = fi.where(size(col("its")) === 1)
       .select(col("its")(0).as("item"), col("freq"))
     val pairs = fi.where(size(col("its")) === 2)
@@ -130,7 +127,12 @@ object Pipeline25 extends graft.QueryModule {
     * per-node-partitioned window — never all-pairs, no funnel;
     * label frames are localCheckpoint'd so round k never replays
     * rounds <k (the k-core discipline). */
-  def graphLpa(s: SparkSession, dir: String): DataFrame = {
+  /** The shared LPA build — (stored pairs, symmetric edges, labels
+    * after 4 rounds); split out so the modularity readout
+    * (Pipeline26.graphModularity) scores the SAME community map this
+    * key reports. */
+  private[operators] def lpaParts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val pairs = s.read.parquet(TextOps.ensureFullPairs(s, dir))
       .where(col("matches") >= 8).select("d1", "d2")
       .localCheckpoint(true)
@@ -150,6 +152,11 @@ object Pipeline25 extends graft.QueryModule {
         .where(col("rn") === 1).select("node", "label")
         .localCheckpoint(true)
     }
+    (pairs, und, labels)
+  }
+
+  def graphLpa(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, _, labels) = lpaParts(s, dir)
     val comm = labels.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
     val intra = pairs
@@ -278,7 +285,10 @@ object Pipeline25 extends graft.QueryModule {
   private def holtWeightsSql: String = holtWeights
     .map { case (k, u, v) => s"($k, $u, $v)" }.mkString(", ")
 
-  private def lpaOracleSql: String = {
+  /** The shared pairs→e0→l0..l4 CTE chain — prefix of both the LPA
+    * oracle and Pipeline26's modularity oracle (one source, like
+    * [[Pipeline23.pairsHead]] itself). */
+  private[operators] def lpaCtePrefix: String = {
     val steps = (1 to 4).map { i =>
       s"""c$i AS (SELECT u.dst AS node, p.label,
         |    CAST(COUNT(*) AS BIGINT) AS c
@@ -291,7 +301,11 @@ object Pipeline25 extends graft.QueryModule {
     }
     Pipeline23.pairsHead + ",\n" +
       "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),\n" +
-      steps.mkString(",\n") + ",\n" +
+      steps.mkString(",\n")
+  }
+
+  private def lpaOracleSql: String = {
+    lpaCtePrefix + ",\n" +
       s"""comm AS (SELECT label AS community,
         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(MAX(node) AS BIGINT) AS max_doc

@@ -120,7 +120,7 @@ object VectorOps extends graft.QueryModule {
     // readout and the association-rules readout — the board's
     // heaviest fit (~21 CPU-s at sf0.1) built once untimed; both
     // keys time their readouts over the support-sized lattice frame
-    Pipeline10.fpModel(s, dir); ()
+    Pipeline10.fpArtifacts(s, dir); ()
   }
 
   /** Brute-force cosine top-5 for 20 probe vectors — the exactness
