@@ -75,7 +75,7 @@ object PlanAudit {
     "q_join_cross_topk" -> 1, "q_ml_ab_ttest" -> 1,
     "q_ml_aft_survival" -> 1, "q_ml_als_topk" -> 1, "q_ml_auc" -> 2,
     "q_ml_avg_precision" -> 2, "q_ml_bootstrap_ci" -> 3,
-    "q_ml_assoc_rules" -> 1,
+    "q_ml_assoc_rules" -> 1, "q_ml_anova_select" -> 1,
     "q_ml_chisq" -> 1, "q_ml_feature_select" -> 1,
     "q_ml_kappa_mcc" -> 1, "q_ml_lift_gains" -> 1,
     "q_ml_pr_curve" -> 2, "q_ml_ranking_metrics" -> 1,

@@ -47,6 +47,7 @@ object SparkEntry {
     operators.Pipeline24,
     operators.Pipeline25,
     operators.Pipeline26,
+    operators.Pipeline27,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
