@@ -77,7 +77,8 @@ object PlanAudit {
     "q_ml_avg_precision" -> 2, "q_ml_bootstrap_ci" -> 3,
     "q_ml_assoc_rules" -> 1, "q_ml_anova_select" -> 1,
     "q_ml_chisq" -> 1, "q_ml_feature_select" -> 1,
-    "q_ml_kappa_mcc" -> 1, "q_ml_lift_gains" -> 1,
+    "q_ml_kappa_mcc" -> 1, "q_ml_knn_eval" -> 1,
+    "q_ml_lift_gains" -> 1,
     "q_ml_pr_curve" -> 2, "q_ml_ranking_metrics" -> 1,
     "q_ml_target_encoder" -> 1, "q_ml_tree_stump" -> 2,
     "q_pipeline_corpus" -> 1, "q_pipeline_output" -> 1,

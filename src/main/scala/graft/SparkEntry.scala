@@ -48,6 +48,7 @@ object SparkEntry {
     operators.Pipeline25,
     operators.Pipeline26,
     operators.Pipeline27,
+    operators.Pipeline28,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -35,7 +35,13 @@ object Pipeline27 extends graft.QueryModule {
     * 100 TB: one full-data daily agg; the spine join, 7-row windows
     * (partitioned by type), weekday agg, and broadcast seasonal join
     * all run on the support-sized (type × day) calendar frame. */
-  def timeDecompose(s: SparkSession, dir: String): DataFrame = {
+  /** The shared decomposition build — the gap-filled windowed frame
+    * with the broadcast weekday seasonal attached (columns event_type,
+    * d, wd, v, trend, detr7, seas); split out so the strength readout
+    * (Pipeline28.timeSeasonalStrength) scores the SAME decomposition
+    * this key reports (the lpaParts precedent). */
+  private[operators] def decomposeParts(s: SparkSession,
+      dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("v"))
@@ -61,12 +67,15 @@ object Pipeline27 extends graft.QueryModule {
         expr("case when sw >= 0 then sw div (7 * cw)" +
           " else -((-sw) div (7 * cw)) end").as("seas"))
     wtr.join(broadcast(seas), Seq("event_type", "wd"))
+  }
+
+  def timeDecompose(s: SparkSession, dir: String): DataFrame =
+    decomposeParts(s, dir)
       .select(col("event_type"), col("d"), col("v").as("v_cents"),
         col("trend").as("trend_cents"), col("seas").as("seas_cents"),
         when(col("trend").isNotNull, expr("v - trend - seas"))
           .as("resid_cents"))
       .orderBy("event_type", "d")
-  }
 
   /** PER-NODE CLUSTERING COEFFICIENT over the stored ≥8-band candidate
     * graph — the local closure score (q_graph_triangles' global
@@ -83,7 +92,12 @@ object Pipeline27 extends graft.QueryModule {
     * 100 TB: all joins are hash equi-joins on the support-sized band
     * graph; the corner explode is 3× the triangle count. No BNLJ, no
     * funnel — the q_graph_* suite pin holds. */
-  def graphClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+  /** The shared degree-oriented triangle enumeration — (stored pairs,
+    * degree frame, one row per triangle (a, b, c)); split out so the
+    * per-edge Jaccard readout (Pipeline28.graphEdgeJaccard) scores the
+    * SAME enumeration (the decomposeParts/lpaParts precedent). */
+  private[operators] def triParts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val pairs = s.read.parquet(TextOps.ensureFullPairs(s, dir))
       .where(col("matches") >= 8).select("d1", "d2")
       .localCheckpoint() // support-sized; deg + orientation + closure
@@ -105,6 +119,11 @@ object Pipeline27 extends graft.QueryModule {
       .where(col("b") < col("c"))
       .join(pairs.select(col("d1").as("b"), col("d2").as("c")),
         Seq("b", "c"))
+    (pairs, deg, tri)
+  }
+
+  def graphClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val (_, deg, tri) = triParts(s, dir)
     val corners = tri.select(col("a").as("n"))
       .unionAll(tri.select(col("b").as("n")))
       .unionAll(tri.select(col("c").as("n")))
