@@ -49,6 +49,7 @@ object SparkEntry {
     operators.Pipeline26,
     operators.Pipeline27,
     operators.Pipeline28,
+    operators.Pipeline29,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

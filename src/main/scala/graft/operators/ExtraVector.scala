@@ -64,12 +64,13 @@ object ExtraVector extends graft.QueryModule {
     * candidate scale (probes x 3 cells x cell-size) that is millions of
     * fused multiply-adds, never a compile-time hazard; norms are
     * computed once per vector, never per pair. */
-  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExprs.ensureRegistered(s)
-    val dotHof = "graft_dot(%s, %s)"
-    val normHof = "sqrt(graft_dot(%s, %s))"
-    // 1) coarse quantizer: per-label mean vector (k x d doubles) ->
-    //    driver -> literal array of (cell, centroid, norm) structs
+  /** Coarse-quantizer literal — the k×d per-label centroid table
+    * collected and re-emitted as an array of (cell, centroid, norm)
+    * structs (tiny by construction; the standard k-means broadcast
+    * pattern). Shared by [[simAnnIvf]] and Pipeline29's combined
+    * IVF-PQ index. */
+  private[operators] def ivfCentroidsLit(s: SparkSession,
+      dir: String): Column = {
     val centRows = emb(s, dir)
       .select(col("label"), posexplode(col("e")))
       .groupBy(col("label").cast("long").as("cell"), col("pos").as("dim"))
@@ -78,21 +79,35 @@ object ExtraVector extends graft.QueryModule {
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
       .select(col("cell"), expr("transform(pairs, p -> p.c)").as("ce"))
       .collect()
-    val centsLit = array(centRows.map { r =>
+    array(centRows.map { r =>
       val ce = r.getSeq[Double](1)
       struct(lit(r.getLong(0)).as("cell"),
         array(ce.map(lit(_)): _*).as("ce"),
         lit(math.sqrt(ce.map(x => x * x).sum)).as("cn"))
     }.toIndexedSeq: _*)
+  }
+
+  /** The IVF cell ranking expression over a `cells` literal column —
+    * per vector, cells sorted by cosine desc with cell tie-break
+    * (shared by [[simAnnIvf]] and Pipeline29). */
+  private[operators] val ivfRankedExpr: String =
+    "array_sort(transform(cells, c -> struct(" +
+      "graft_dot(e, c.ce) / (n * c.cn) AS s, c.cell AS cell)), " +
+      "(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 " +
+      "WHEN l.cell < r.cell THEN -1 WHEN l.cell > r.cell THEN 1 ELSE 0 END)"
+
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(s)
+    val dotHof = "graft_dot(%s, %s)"
+    val normHof = "sqrt(graft_dot(%s, %s))"
+    // 1) coarse quantizer: per-label mean vector (k x d doubles) ->
+    //    driver -> literal array of (cell, centroid, norm) structs
+    val centsLit = ivfCentroidsLit(s, dir)
     // 2) one pass per vector: norm + cells ranked by cosine (ties: cell)
     val ranked = emb(s, dir)
       .withColumn("n", expr(normHof.format("e", "e")))
       .withColumn("cells", centsLit)
-      .withColumn("ranked", expr(
-        "array_sort(transform(cells, c -> struct(" +
-          s"${dotHof.format("e", "c.ce")} / (n * c.cn) AS s, c.cell AS cell)), " +
-          "(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 " +
-          "WHEN l.cell < r.cell THEN -1 WHEN l.cell > r.cell THEN 1 ELSE 0 END)"))
+      .withColumn("ranked", expr(ivfRankedExpr))
     val assigned = ranked
       .select(col("vec_id"), col("e"), col("n"),
         expr("ranked[0].cell").as("cell"))
@@ -134,11 +149,16 @@ object ExtraVector extends graft.QueryModule {
     * interpreted HOF dots (no unrolled-tree Janino blowup); the
     * shortlist is a per-probe WindowGroupLimit top-50; only <= 50
     * candidates per probe ever read their raw vector again. */
-  def simAnnPq(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExprs.ensureRegistered(s)
-    val m = 8
-    val sub = 8
-    // 1) codebook: per-(label, subspace) mean subvector, collected
+  private[operators] val pqM = 8
+  private[operators] val pqSub = 8
+
+  /** PQ codebook literal — CB[sp][code] = 8-dim per-(label, subspace)
+    * mean subvector, collected and re-emitted (the IVF centroid
+    * pattern; codes are 0-based and dense: label domain is 0..9).
+    * Shared by [[simAnnPq]] and Pipeline29's combined IVF-PQ index. */
+  private[operators] def pqCodebookLit(s: SparkSession,
+      dir: String): Column = {
+    val (m, sub) = (pqM, pqSub)
     val cbRows = emb(s, dir)
       .select(col("label"), posexplode(col("e")))
       .groupBy(col("label").cast("long").as("code"),
@@ -150,9 +170,7 @@ object ExtraVector extends graft.QueryModule {
         expr("transform(ps, p -> p.c)").as("ce"))
       .collect()
     val codes = cbRows.map(r => (r.getLong(0), r.getLong(1))).distinct
-    // literal: CB[sp][code] = 8-dim centroid (codes are 0-based and
-    // dense by construction: label domain is 0..9)
-    val cbLit = array((0 until m).map { sp =>
+    array((0 until m).map { sp =>
       val k = codes.count(_._1 == sp)
       array((0 until k).map { c =>
         val ce = cbRows.find(r => r.getLong(0) == sp && r.getLong(1) == c)
@@ -160,6 +178,35 @@ object ExtraVector extends graft.QueryModule {
         array(ce.map(lit(_)): _*)
       }: _*)
     }: _*)
+  }
+
+  /** PQ per-vector encode expression (codes argmin-L2 per subspace,
+    * ties to the lower code) and the ADC scoring expression —
+    * the single sources Pipeline29's combined index reuses. */
+  private[operators] val pqDistsExpr: String = {
+    val (m, sub) = (pqM, pqSub)
+    s"""transform(sequence(0, ${m - 1}), sp ->
+       |  transform(element_at(cb, sp + 1), cc -> round(
+       |    aggregate(sequence(1, $sub), 0D, (acc, i) ->
+       |      acc + (element_at(e, sp * $sub + i) - element_at(cc, i))
+       |          * (element_at(e, sp * $sub + i) - element_at(cc, i))),
+       |    9)))""".stripMargin
+  }
+
+  private[operators] val pqAdcExpr: String = {
+    val (m, sub) = (pqM, pqSub)
+    s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, sp) ->
+       |  acc + graft_dot(slice(pe, sp * $sub + 1, $sub),
+       |    element_at(element_at(cb, sp + 1),
+       |      cast(element_at(codes, sp + 1) + 1 as int))))""".stripMargin
+  }
+
+  def simAnnPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(s)
+    val m = pqM
+    val sub = pqSub
+    // 1) codebook: per-(label, subspace) mean subvector, collected
+    val cbLit = pqCodebookLit(s, dir)
     // 2) encode: per vector, per subspace, argmin L2 over the codebook
     //    (ties to the lower code) + exact norm — the stored PQ row
     // the per-(subspace, code) distance lists materialize in their own
@@ -168,13 +215,7 @@ object ExtraVector extends graft.QueryModule {
     // ONCE per vector rather than inlining two copies
     val enc = emb(s, dir)
       .withColumn("cb", cbLit)
-      .withColumn("dists", expr(
-        s"""transform(sequence(0, ${m - 1}), sp ->
-           |  transform(element_at(cb, sp + 1), cc -> round(
-           |    aggregate(sequence(1, $sub), 0D, (acc, i) ->
-           |      acc + (element_at(e, sp * $sub + i) - element_at(cc, i))
-           |          * (element_at(e, sp * $sub + i) - element_at(cc, i))),
-           |    9)))""".stripMargin))
+      .withColumn("dists", expr(pqDistsExpr))
       .select(col("vec_id"), col("e"),
         expr("sqrt(graft_dot(e, e))").as("n"),
         expr("transform(dists, ds -> array_position(ds, array_min(ds)) - 1)")
@@ -189,12 +230,8 @@ object ExtraVector extends graft.QueryModule {
     val shortlist = stored.crossJoin(broadcast(probes))
       .where(col("vec_id") =!= col("probe_id"))
       .withColumn("cb", cbLit)
-      .withColumn("approx_cos", round(expr(
-        s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, sp) ->
-           |  acc + graft_dot(slice(pe, sp * $sub + 1, $sub),
-           |    element_at(element_at(cb, sp + 1),
-           |      cast(element_at(codes, sp + 1) + 1 as int))))""".stripMargin)
-        / (col("pn") * col("n")), 6))
+      .withColumn("approx_cos",
+        round(expr(pqAdcExpr) / (col("pn") * col("n")), 6))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 50)
       .select("probe_id", "pe", "pn", "vec_id")
