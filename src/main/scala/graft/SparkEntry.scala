@@ -50,6 +50,7 @@ object SparkEntry {
     operators.Pipeline27,
     operators.Pipeline28,
     operators.Pipeline29,
+    operators.Pipeline30,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
