@@ -51,6 +51,7 @@ object SparkEntry {
     operators.Pipeline28,
     operators.Pipeline29,
     operators.Pipeline30,
+    operators.Pipeline31,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

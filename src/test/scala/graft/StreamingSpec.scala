@@ -83,6 +83,23 @@ class StreamingSpec extends AnyFunSuite {
         s"only-batch=${b.exceptAll(a).count()}")
   }
 
+  test("distinct-user window: streaming sketch within 5% of the exact twin") {
+    val data = eventsSample()
+    val approx = throughStream("t_distinct_sketch", data,
+      operators.Pipeline31.streamDistinctSketch)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    val exact = SparkEntry.queries("q_stream_distinct_window")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(approx.keySet == exact.keySet) // same windows materialize
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n) <= math.max(1L, (0.05 * n).toLong),
+        s"window $k: sketch $a vs exact $n")
+    }
+  }
+
   test("tumbling window: stream == batch on complete data") {
     val data = eventsSample()
     val batch = streaming.StreamOps.tumbling(Tables.events(spark, dir))
