@@ -79,7 +79,8 @@ object PlanAudit {
     "q_ml_chisq" -> 1, "q_ml_feature_select" -> 1,
     "q_ml_kappa_mcc" -> 1, "q_ml_knn_eval" -> 1,
     "q_ml_lift_gains" -> 1,
-    "q_ml_pr_curve" -> 2, "q_ml_ranking_metrics" -> 1,
+    "q_ml_pr_curve" -> 2, "q_ml_f1_threshold" -> 2,
+    "q_ml_ranking_metrics" -> 1,
     "q_ml_target_encoder" -> 1, "q_ml_tree_stump" -> 2,
     "q_pipeline_corpus" -> 1, "q_pipeline_output" -> 1,
     "q_profile_benford" -> 1, "q_profile_columns" -> 1,

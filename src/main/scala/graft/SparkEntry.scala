@@ -52,6 +52,7 @@ object SparkEntry {
     operators.Pipeline29,
     operators.Pipeline30,
     operators.Pipeline31,
+    operators.Pipeline32,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -370,7 +370,13 @@ object Pipeline17 extends graft.QueryModule {
         |    OR (s2.stat_milli = s1.stat_milli AND s2.dim < s1.dim)
         |  GROUP BY s1.dim, s1.stat_milli)
         |WHERE sel_rank <= 8 ORDER BY sel_rank""".stripMargin,
-    "q_ml_pr_curve" ->
+    "q_ml_pr_curve" -> (prCurveSqlBody + " ORDER BY score"))
+
+  /** The exact banded-PR-curve SQL body (no final ORDER BY) — the
+    * single source shared with Pipeline32's q_ml_f1_threshold, which
+    * re-sorts the same curve by (f1 desc, score asc) and takes the
+    * operating point. */
+  private[operators] val prCurveSqlBody: String =
       """WITH sc AS (
         |  SELECT (label >= 5) AS pos,
         |    CAST(list_sum(list_transform(embedding::DOUBLE[],
@@ -398,5 +404,5 @@ object Pipeline17 extends graft.QueryModule {
         |  CAST((1000000 * tp) // n_pos AS BIGINT) AS recall_ppm,
         |  CAST((2000000 * tp) // (2 * tp + fp + (n_pos - tp)) AS BIGINT)
         |    AS f1_ppm
-        |FROM c ORDER BY score""".stripMargin)
+        |FROM c""".stripMargin
 }
