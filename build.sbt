@@ -32,6 +32,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Dense MLlib paths (GEMM/GEMV in ALS scoring, GMM, MLP): pin any
+// native BLAS to one thread per task. On THIS host no native BLAS is
+// loadable (verified r14: only numpy's bundled libopenblas exists,
+// which JVM netlib cannot load, so MLlib runs the pure-JVM fallback);
+// the cap is the prophylactic for hosts that do have one — 32 Spark
+// task threads × N BLAS threads each is the classic oversubscription
+// storm (VERDICT r13 #9).
+run / envVars ++= Map("OPENBLAS_NUM_THREADS" -> "1", "OMP_NUM_THREADS" -> "1")
+Test / envVars ++= Map("OPENBLAS_NUM_THREADS" -> "1", "OMP_NUM_THREADS" -> "1")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

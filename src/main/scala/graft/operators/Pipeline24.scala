@@ -14,35 +14,99 @@ import graft.Tables
   * house exact/approx pairing). */
 object Pipeline24 extends graft.QueryModule {
 
-  /** ALS BATCH SCORING — top-3 parts for EVERY user via
-    * recommendForAllUsers (MLlib's blocked top-k: user/item factor
-    * blocks cross in bounded tiles, each tile keeps a per-user heap —
-    * the production batch-scoring plan PLAN_AUDIT names as what
-    * q_ml_als_topk's 20-probe readout would become at scale). Scores
-    * include SEEN items (standard batch scoring semantics — the
-    * serving layer filters; the probe key q_ml_als_topk demonstrates
-    * the anti-join variant), re-ranked deterministically by
-    * (score 6dp desc, part asc) and mapped back through the id
-    * dictionaries. NO oracle (iterative alternating solve);
-    * Pipeline24Spec pins coverage (3 rows per rated user),
-    * determinism, and rank totality.
+  /** ALS BATCH SCORING — top-3 parts for EVERY user over blocked
+    * factor tiles (the recommendForAllUsers plan shape: user/item
+    * factor blocks cross in bounded tiles, each tile keeps a per-user
+    * top-k — the production batch-scoring topology PLAN_AUDIT names
+    * as what q_ml_als_topk's 20-probe readout would become at scale).
+    * The tile KERNEL is ours, not MLlib's (r14 rework, VERDICT r13
+    * #1): MLlib's recommendForAll allocates a boxed (id, score) tuple
+    * per scored candidate — ~users×items short-lived tuples per pass,
+    * the board's densest allocation storm, which this host amplified
+    * 30× twice (adjudicated: 813 CPU-s reproduced in an isolated
+    * fresh-JVM probe vs 41 for the same call a minute earlier; gc≈0,
+    * so allocation-stall amplification, not heap exhaustion). The
+    * replacement keeps the exact same blocked-cartesian plan but
+    * scores each tile with primitive float/double loops and a 5-slot
+    * insertion top-k per user — zero per-candidate allocation, so the
+    * pathological surface is gone and the quiet cost drops ~4×.
+    * Scores include SEEN items (standard batch scoring semantics —
+    * the serving layer filters; the probe key q_ml_als_topk
+    * demonstrates the anti-join variant), re-ranked deterministically
+    * by (score 6dp desc, part asc) and mapped back through the id
+    * dictionaries. Per-(user, item-block) top-5 candidates with
+    * (raw desc, id asc) tie-break give the window STRICTLY more
+    * headroom than recommendForAllUsers(5) did (≥5 global raw
+    * winners always survive the per-block cut), and the raw scores
+    * are float→double products summed in fixed index order — fully
+    * deterministic, no heap-order tie dependence at all. NO oracle
+    * (iterative alternating solve); Pipeline24Spec pins coverage
+    * (3 rows per rated user), determinism, and rank totality.
     *
     * 100 TB: the factorization is the memoized shared fit (built
     * untimed in the declared warm hook, like KMeans/RF/scaler-LR);
-    * the scoring is factor-block tiles — never a row-scale
-    * cross-join — and the dictionary joins are hash equi-joins. */
+    * the scoring is factor-block tiles — ⌈U/4096⌉×⌈I/4096⌉ bounded
+    * tasks, never a row-scale cross-join — and the dictionary joins
+    * are hash equi-joins. Catalogs past ~10M items swap this exact
+    * scan for the stored IVF-PQ shortlist (q_sim_ann_ivfpq) + exact
+    * re-rank. */
   def mlAlsRecommendAll(s: SparkSession, dir: String): DataFrame = {
     val (model, cids, pids, _) = Pipeline10.alsArtifacts(s, dir)
-    // top-5 HEADROOM, final 3 chosen by the deterministic (score 6dp
-    // desc, part asc) order (ADVICE r12): which items enter MLlib's
-    // internal top-k heap at a raw-float score tie depends on block
-    // processing order, so asking for exactly 3 would make the graded
-    // rows heap-order-dependent at ties; with headroom the re-rank
-    // below owns the cut.
-    val recs = model.recommendForAllUsers(5)
-      .select(col("cid"), explode(col("recommendations")).as("r"))
-      .select(col("cid"), col("r.pid").as("pid"),
-        round(col("r.rating").cast("double"), 6).as("score"))
+    import s.implicits._
+    val rank = model.rank
+    // blockify: pack each ≤4096-row slice of a factor frame into one
+    // (ids, rowMajorMat) pair — the tile currency of the cross join.
+    def blocks(df: DataFrame) = df
+      .select(col("id").cast("int").as("_1"), col("features").as("_2"))
+      .as[(Int, Array[Float])]
+      .mapPartitions(_.grouped(4096).map { rows =>
+        val ids = new Array[Int](rows.length)
+        val mat = new Array[Float](rows.length * rank)
+        var i = 0
+        rows.foreach { r =>
+          ids(i) = r._1; System.arraycopy(r._2, 0, mat, i * rank, rank)
+          i += 1
+        }
+        (ids, mat)
+      })
+    val tiles = blocks(model.userFactors).toDF("_1", "_2")
+      .crossJoin(blocks(model.itemFactors).toDF("_3", "_4"))
+      .as[(Array[Int], Array[Float], Array[Int], Array[Float])]
+    val cand = tiles.flatMap { case (uids, umat, iids, imat) =>
+      val m = uids.length; val n = iids.length
+      val k = math.min(5, n)
+      val out = new Array[(Int, Int, Double)](m * k)
+      var u = 0
+      while (u < m) {
+        // 5-slot insertion top-k, kept sorted by (score desc, id asc)
+        val ts = Array.fill(5)(Double.NegativeInfinity)
+        val ti = Array.fill(5)(Int.MaxValue)
+        val uoff = u * rank
+        var j = 0
+        while (j < n) {
+          var sc = 0.0; var x = 0; val ioff = j * rank
+          while (x < rank) {
+            sc += umat(uoff + x).toDouble * imat(ioff + x).toDouble; x += 1
+          }
+          val id = iids(j)
+          if (sc > ts(4) || (sc == ts(4) && id < ti(4))) {
+            var p = 4
+            while (p > 0 && (sc > ts(p - 1) ||
+                (sc == ts(p - 1) && id < ti(p - 1)))) {
+              ts(p) = ts(p - 1); ti(p) = ti(p - 1); p -= 1
+            }
+            ts(p) = sc; ti(p) = id
+          }
+          j += 1
+        }
+        var o = 0
+        while (o < k) { out(u * k + o) = (uids(u), ti(o), ts(o)); o += 1 }
+        u += 1
+      }
+      out.iterator
+    }
+    val recs = cand.toDF("cid", "pid", "raw")
+      .select(col("cid"), col("pid"), round(col("raw"), 6).as("score"))
     val w = Window.partitionBy(col("cust"))
       .orderBy(col("score").desc, col("part").asc)
     recs.join(cids, "cid").join(pids, "pid")
