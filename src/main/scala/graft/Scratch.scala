@@ -62,13 +62,10 @@ object Scratch {
     }
     println(s"heap=${Runtime.getRuntime.maxMemory() / (1 << 20)} MiB  blockSize=$blockSize")
 
-    val (model, _, _, _) =
-      time("als fit (alsArtifacts)")(operators.Pipeline10.alsArtifacts(spark, sfDir))
-    model.setBlockSize(blockSize)
-    time("full q_ml_als_recommend_all")(
-      SparkEntry.queries("q_ml_als_recommend_all")(spark, sfDir).count())
-    time("full q_ml_als_recommend_all #2")(
-      SparkEntry.queries("q_ml_als_recommend_all")(spark, sfDir).count())
+    time("payload #1")(
+      SparkEntry.queries("q_dedup_payload")(spark, sfDir).count())
+    time("payload #2")(
+      SparkEntry.queries("q_dedup_payload")(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -53,6 +53,7 @@ object SparkEntry {
     operators.Pipeline30,
     operators.Pipeline31,
     operators.Pipeline32,
+    operators.Pipeline33,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -404,8 +404,19 @@ object Dedup {
     * aggregation. Output: (idCol, perm, minh) — band-join two of these
     * on (perm, minh) for LSH candidates. */
   def minhashSignatures(sh: DataFrame, idCol: String,
+      perms: Seq[(Int, Long, Long)]): DataFrame =
+    minhashSignaturesOfSid(
+      sh.withColumn("sid", Text.polyHash("shingle")), idCol, perms)
+
+  /** Signature builder over PRE-HASHED shingle ids — the sid-level
+    * core of [[minhashSignatures]], reusable by producers whose
+    * shingling isn't a string column (e.g. byte-gram hashes computed
+    * in a partition kernel over a binary payload). All `perms.size`
+    * slots come from ONE aggregation pass (16 min-columns, then
+    * stack), never a perms cross join. Input: (idCol, sid) rows;
+    * sid must be < 1e9+7 so the affine maps stay in int64. */
+  def minhashSignaturesOfSid(withSid: DataFrame, idCol: String,
       perms: Seq[(Int, Long, Long)]): DataFrame = {
-    val withSid = sh.withColumn("sid", Text.polyHash("shingle"))
     val minCols = perms.map { case (i, a, b) =>
       min((lit(a) * col("sid") + lit(b)) % lit(2147483647L)).as(s"m$i")
     }

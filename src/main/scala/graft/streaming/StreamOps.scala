@@ -180,6 +180,38 @@ object StreamOps extends graft.QueryModule {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("latency_us"))
 
+  /** Stream-stream FULL OUTER attribution join (r14, VERDICT r13 #5)
+    * — the left-outer key's completion: unmatched CLICKS surface with
+    * a null purchase (the left-outer semantics) AND unmatched
+    * PURCHASES surface with a null click (organic conversions no
+    * click preceded — the side a left join silently drops). Same
+    * user_id equi-key + 30-minute event-time range. In true streaming
+    * (StreamingSpec, watermarks on both sides) each side's
+    * unmatched-null row is emitted exactly once, only when the
+    * watermark closes its join window; late rows behind the watermark
+    * cannot resurrect or duplicate it. On complete data the batch
+    * twin is a plain range full join — graded, oracle-checked with
+    * NULLS-pinned total order (both id columns are nullable here, so
+    * the order pins NULLS FIRST explicitly on both engines).
+    *
+    * 100 TB: identical scale shape to the left-outer key — equi-key
+    * sort-merge join with the time range as residual; streaming state
+    * on BOTH sides is watermark-bounded (≤30 min + delay each). */
+  def fullOuterAttribution(clicks: DataFrame,
+      purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        (col("purchase_id").isNotNull && col("click_id").isNotNull)
+          .as("matched"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("latency_us"))
+
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -201,7 +233,11 @@ object StreamOps extends graft.QueryModule {
       .orderBy("user_id")),
     "q_stream_left_outer" -> ((s, d) =>
       leftOuterAttribution(loClicks(ev(s, d)), loPurchases(ev(s, d)))
-        .orderBy("click_id", "purchase_id")))
+        .orderBy("click_id", "purchase_id")),
+    "q_stream_full_outer" -> ((s, d) =>
+      fullOuterAttribution(loClicks(ev(s, d)), loPurchases(ev(s, d)))
+        .orderBy(col("click_id").asc_nulls_first,
+          col("purchase_id").asc_nulls_first)))
 
   def oracleSql: Map[String, String] = Map(
     "q_stream_left_outer" ->
@@ -219,6 +255,22 @@ object StreamOps extends graft.QueryModule {
         |  AND p.purchase_ts >= c.click_ts
         |  AND p.purchase_ts < c.click_ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+    "q_stream_full_outer" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |             ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+        |        ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT COALESCE(c.user_id, p.p_user) AS user_id, c.click_id,
+        |  c.click_ts, p.purchase_id, p.purchase_ts,
+        |  (p.purchase_id IS NOT NULL AND c.click_id IS NOT NULL)
+        |    AS matched,
+        |  epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS latency_us
+        |FROM c FULL JOIN p ON p.p_user = c.user_id
+        |  AND p.purchase_ts >= c.click_ts
+        |  AND p.purchase_ts < c.click_ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
     "q_stream_drift" ->
       """WITH b AS (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -201,6 +201,80 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join: both sides' null rows only at expiry") {
+    // the left-outer semantics PLUS the purchase side (r14, VERDICT
+    // r13 #5): an unmatched PURCHASE (organic conversion, no click
+    // preceded it) must also surface exactly once with a null click,
+    // only when the watermark closes its window; late rows behind the
+    // watermark resurrect nothing on either side. Complete-data
+    // behavior is the graded batch twin (q_stream_full_outer,
+    // oracle-checked with NULLS-pinned order).
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val clicksMem = MemoryStream[Ev]
+    val purchMem = MemoryStream[Ev]
+    def ts(min: Int) = Timestamp.valueOf(
+      f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    def click(id: Long, u: Long, min: Int) = Ev(id, ts(min), u, "click", 0.0)
+    def purchase(id: Long, u: Long, min: Int) =
+      Ev(id, ts(min), u, "purchase", 1.0)
+    val q = streaming.StreamOps.fullOuterAttribution(
+        streaming.StreamOps.loClicks(clicksMem.toDF())
+          .withWatermark("click_ts", "10 minutes"),
+        streaming.StreamOps.loPurchases(purchMem.toDF())
+          .withWatermark("purchase_ts", "10 minutes"))
+      .writeStream.format("memory").queryName("t_fojoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1 matches; u2's click never will; u5's purchase has no click
+      clicksMem.addData(click(1, 1, 0), click(2, 2, 5))
+      purchMem.addData(purchase(10, 1, 10), purchase(14, 5, 7))
+      q.processAllAvailable()
+      val early = sp.table("t_fojoin").collect()
+      assert(!early.exists(r => !r.isNullAt(r.fieldIndex("click_id"))
+          && r.getAs[Long]("click_id") == 2L),
+        "no click-null row while its window is open")
+      assert(!early.exists(r => !r.isNullAt(r.fieldIndex("purchase_id"))
+          && r.getAs[Long]("purchase_id") == 14L),
+        "no purchase-null row while its window is open")
+      // advance both watermarks far past every open window
+      clicksMem.addData(click(3, 3, 120))
+      purchMem.addData(purchase(11, 3, 121))
+      q.processAllAvailable()
+      clicksMem.addData(click(4, 4, 125))
+      purchMem.addData(purchase(12, 4, 126))
+      q.processAllAvailable()
+      val late = sp.table("t_fojoin").collect()
+      val u2 = late.filter(r => !r.isNullAt(r.fieldIndex("click_id"))
+        && r.getAs[Long]("click_id") == 2L)
+      assert(u2.length == 1, s"expected one u2 row, got ${u2.length}")
+      assert(u2.head.isNullAt(u2.head.fieldIndex("purchase_id")))
+      assert(!u2.head.getAs[Boolean]("matched"))
+      val u5 = late.filter(r => !r.isNullAt(r.fieldIndex("purchase_id"))
+        && r.getAs[Long]("purchase_id") == 14L)
+      assert(u5.length == 1, s"expected one u5 row, got ${u5.length}")
+      assert(u5.head.isNullAt(u5.head.fieldIndex("click_id")))
+      assert(!u5.head.getAs[Boolean]("matched"))
+      assert(u5.head.getAs[Long]("user_id") == 5L,
+        "user_id coalesces from the purchase side")
+      // late rows behind the watermark change nothing on either side
+      purchMem.addData(purchase(13, 2, 6))
+      clicksMem.addData(click(5, 5, 6))
+      q.processAllAvailable()
+      val fin = sp.table("t_fojoin").collect()
+      assert(fin.count(r => !r.isNullAt(r.fieldIndex("click_id"))
+        && r.getAs[Long]("click_id") == 2L) == 1)
+      assert(fin.count(r => !r.isNullAt(r.fieldIndex("purchase_id"))
+        && r.getAs[Long]("purchase_id") == 14L) == 1)
+      // the matched pair carries the exact event-time latency
+      val u1 = fin.filter(r => !r.isNullAt(r.fieldIndex("click_id"))
+        && r.getAs[Long]("click_id") == 1L)
+      assert(u1.length == 1 &&
+        u1.head.getAs[Long]("latency_us") == 600000000L)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join: null row only at watermark expiry") {
     // the semantics users get wrong (VERDICT r12 #6): an unmatched
     // click's null-purchase row must NOT appear while a match could
