@@ -95,7 +95,11 @@ object PlanAudit {
     "q_text_collocations" -> 2, "q_text_perplexity" -> 1,
     "q_text_tfidf" -> 1, "q_text_word2vec" -> 1,
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
-    "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3)
+    "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
+    // r14: the q_vec_bucketize pair — bandedRank's band-offset theta
+    // join (bands × bands, domain-bounded ≤ ~55²) + the 1-row grand-
+    // total crossJoin(broadcast(n)) for the ntile/pctrank arithmetic
+    "q_win_ntile" -> 2)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

@@ -54,6 +54,7 @@ object SparkEntry {
     operators.Pipeline31,
     operators.Pipeline32,
     operators.Pipeline33,
+    operators.Pipeline34,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -212,6 +212,31 @@ object StreamOps extends graft.QueryModule {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("latency_us"))
 
+  /** Per-user RUNNING (event count, max value) trajectory — the
+    * graded batch twin of the Spark 4 transformWithState
+    * StatefulProcessor (StreamingSpec's RunningAggProcessor: a
+    * ValueState[(count, max)] per user updated per row, the MODERN
+    * arbitrary-state API successor to flatMapGroupsWithState; the
+    * spec pins the processor's emissions == this frame's per-user
+    * final rows through a real MemoryStream + RocksDB state store).
+    * On complete data the trajectory is a cumulative window over
+    * (ts, event_id) — oracle-exact (count + max only: no float sums).
+    *
+    * 100 TB: the window partitions by user_id (bounded per-key
+    * state — exactly the property that makes the streaming form's
+    * ValueState bounded too). */
+  def runningAgg(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("running_n", count(lit(1)).over(w))
+      .withColumn("running_max", max(col("value")).over(w))
+      .select(col("user_id"), col("event_id"), col("running_n"),
+        col("running_max"))
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -237,7 +262,9 @@ object StreamOps extends graft.QueryModule {
     "q_stream_full_outer" -> ((s, d) =>
       fullOuterAttribution(loClicks(ev(s, d)), loPurchases(ev(s, d)))
         .orderBy(col("click_id").asc_nulls_first,
-          col("purchase_id").asc_nulls_first)))
+          col("purchase_id").asc_nulls_first)),
+    "q_stream_running_agg" -> ((s, d) => runningAgg(ev(s, d))
+      .orderBy("user_id", "running_n")))
 
   def oracleSql: Map[String, String] = Map(
     "q_stream_left_outer" ->
@@ -271,6 +298,14 @@ object StreamOps extends graft.QueryModule {
         |  AND p.purchase_ts >= c.click_ts
         |  AND p.purchase_ts < c.click_ts + INTERVAL 30 MINUTE
         |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+    "q_stream_running_agg" ->
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+        |  MAX(value) OVER w AS running_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, running_n""".stripMargin,
     "q_stream_drift" ->
       """WITH b AS (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type,
