@@ -55,6 +55,7 @@ object SparkEntry {
     operators.Pipeline32,
     operators.Pipeline33,
     operators.Pipeline34,
+    operators.Pipeline35,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
