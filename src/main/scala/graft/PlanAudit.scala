@@ -99,7 +99,16 @@ object PlanAudit {
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta
     // join (bands × bands, domain-bounded ≤ ~55²) + the 1-row grand-
     // total crossJoin(broadcast(n)) for the ntile/pctrank arithmetic
-    "q_win_ntile" -> 2)
+    "q_win_ntile" -> 2,
+    // r14 batch 4/5: 1-row grand-total crossJoin(broadcast) scalar
+    // attaches (woe_iv ×1, cramers_v ×2 — one per contingency pair)
+    // and the banded machinery's band-offset theta join (mannwhitney's
+    // bandedCumSum, zipf's bandedRank — bands × bands, domain-bounded)
+    "q_ml_woe_iv" -> 1, "q_ml_cramers_v" -> 2,
+    "q_ml_mannwhitney" -> 1, "q_text_zipf" -> 1,
+    // r14 batch 6: spearman runs the band-offset theta join once per
+    // ranked variable
+    "q_ml_spearman" -> 2)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

@@ -56,6 +56,9 @@ object SparkEntry {
     operators.Pipeline33,
     operators.Pipeline34,
     operators.Pipeline35,
+    operators.Pipeline36,
+    operators.Pipeline37,
+    operators.Pipeline38,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -237,6 +237,30 @@ object StreamOps extends graft.QueryModule {
         col("running_max"))
   }
 
+  /** CHAINED STATEFUL AGGREGATION — two stacked tumbling-window aggs
+    * (Spark 4 multiple-stateful-operators): hourly per-user event
+    * counts, re-aggregated per hour into active users / max per-user
+    * count / total events — the "distribution of per-key activity"
+    * readout a naive single agg can't produce. In the streaming form
+    * (StreamingSpec: real MemoryStream, append mode, watermark) the
+    * SECOND agg groups on window(window) — the first agg's window
+    * struct — and both operators keep watermark-bounded state. On
+    * complete data the twin is the same two hash aggs, oracle-exact
+    * (count/max only at the user grain — no float-sum hazard).
+    *
+    * 100 TB: both aggs are partitioned hash aggs (hour×user, then
+    * hour); state per key is O(1) and watermark-expired. */
+  def chainedAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      // window-over-window (SPARK-40925): the form streaming chained
+      // aggregation requires; in batch it is the identity re-window
+      .groupBy(window(col("window"), "1 hour"))
+      .agg(count(lit(1)).as("n_users"), max("cnt").as("max_user_events"),
+        sum("cnt").as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_users"),
+        col("max_user_events"), col("n_events"))
+
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -264,7 +288,9 @@ object StreamOps extends graft.QueryModule {
         .orderBy(col("click_id").asc_nulls_first,
           col("purchase_id").asc_nulls_first)),
     "q_stream_running_agg" -> ((s, d) => runningAgg(ev(s, d))
-      .orderBy("user_id", "running_n")))
+      .orderBy("user_id", "running_n")),
+    "q_stream_chained_agg" -> ((s, d) => chainedAgg(ev(s, d))
+      .orderBy("window_start")))
 
   def oracleSql: Map[String, String] = Map(
     "q_stream_left_outer" ->
@@ -298,6 +324,15 @@ object StreamOps extends graft.QueryModule {
         |  AND p.purchase_ts >= c.click_ts
         |  AND p.purchase_ts < c.click_ts + INTERVAL 30 MINUTE
         |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+    "q_stream_chained_agg" ->
+      """WITH g AS (SELECT date_trunc('hour', ts) AS window_start,
+        |    user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY window_start, user_id)
+        |SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  MAX(cnt) AS max_user_events,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_events
+        |FROM g GROUP BY window_start
+        |ORDER BY window_start""".stripMargin,
     "q_stream_running_agg" ->
       """SELECT user_id, event_id,
         |  CAST(COUNT(*) OVER w AS BIGINT) AS running_n,

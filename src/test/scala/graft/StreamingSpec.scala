@@ -721,4 +721,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(counts("t_proctime") == expected)
     } finally qp.stop()
   }
+
+  test("chained stateful aggregation (two stacked window aggs, append) == batch twin on closed windows") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val data = eventsSample()
+    val mem = MemoryStream[Ev]
+    val q = streaming.StreamOps
+      .chainedAgg(mem.toDF().withWatermark("ts", "1 minute"))
+      .writeStream.format("memory").queryName("t_chained")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = data.splitAt(data.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      // nudge batch: chained stateful ops can finalize the SECOND
+      // agg's state one microbatch after the first's emission — feed
+      // one more event inside the still-open last hour (closed
+      // windows unaffected) so the downstream agg flushes
+      mem.addData(Seq(data.maxBy(_.ts.getTime)))
+      q.processAllAvailable()
+      val maxTs = data.map(_.ts.getTime).max
+      val closed = col("window_start") < new Timestamp(
+        (maxTs - 60 * 1000) / 3600000 * 3600000)
+      val streamed = sp.table("t_chained").where(closed)
+      val batch = streaming.StreamOps
+        .chainedAgg(Tables.events(spark, dir)).where(closed)
+      assert(streamed.count() > 0, "no closed windows emitted")
+      assertSame(streamed, batch)
+    } finally q.stop()
+  }
 }
