@@ -59,6 +59,7 @@ object SparkEntry {
     operators.Pipeline36,
     operators.Pipeline37,
     operators.Pipeline38,
+    operators.Pipeline39,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
