@@ -60,6 +60,7 @@ object SparkEntry {
     operators.Pipeline37,
     operators.Pipeline38,
     operators.Pipeline39,
+    operators.Pipeline40,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
