@@ -61,6 +61,9 @@ object SparkEntry {
     operators.Pipeline38,
     operators.Pipeline39,
     operators.Pipeline40,
+    operators.Pipeline41,
+    operators.Pipeline42,
+    operators.Pipeline43,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
