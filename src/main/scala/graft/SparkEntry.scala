@@ -64,6 +64,7 @@ object SparkEntry {
     operators.Pipeline41,
     operators.Pipeline42,
     operators.Pipeline43,
+    operators.Pipeline44,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
