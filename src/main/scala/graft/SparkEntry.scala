@@ -65,6 +65,7 @@ object SparkEntry {
     operators.Pipeline42,
     operators.Pipeline43,
     operators.Pipeline44,
+    operators.Pipeline45,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
