@@ -66,6 +66,7 @@ object SparkEntry {
     operators.Pipeline43,
     operators.Pipeline44,
     operators.Pipeline45,
+    operators.Pipeline46,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
