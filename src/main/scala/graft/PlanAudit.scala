@@ -94,9 +94,9 @@ object PlanAudit {
     "q_sim_ann_pq" -> 1, "q_sim_cosine_topk" -> 1,
     "q_text_collocations" -> 2, "q_text_perplexity" -> 1,
     "q_text_tfidf" -> 1, "q_text_word2vec" -> 1,
-    // r14 batch 12: the |sources|x20 top-word grid (missing cells
-    // must enter as f = 0, so the grid is the honest shape)
-    "q_text_burrows_delta" -> 1,
+    // r14 batch 14: the 1-row within-frame x 1-row total-frame join
+    // assembling W/B for the CH ratio (both sides single-row aggs)
+    "q_ml_calinski_harabasz" -> 1,
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
     "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta

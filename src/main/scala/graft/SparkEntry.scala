@@ -67,6 +67,7 @@ object SparkEntry {
     operators.Pipeline44,
     operators.Pipeline45,
     operators.Pipeline46,
+    operators.Pipeline47,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
