@@ -97,6 +97,11 @@ object PlanAudit {
     // r14 batch 14: the 1-row within-frame x 1-row total-frame join
     // assembling W/B for the CH ratio (both sides single-row aggs)
     "q_ml_calinski_harabasz" -> 1,
+    // r14 batch 17: 1-row coefficient frame broadcast over day rows
+    "q_time_granger" -> 1,
+    // r14 batch 17: two theta self-joins over the broadcast
+    // duration frame (risk sets + product-limit prefix)
+    "q_events_survival_km" -> 2,
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
     "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta

@@ -68,6 +68,9 @@ object SparkEntry {
     operators.Pipeline45,
     operators.Pipeline46,
     operators.Pipeline47,
+    operators.Pipeline48,
+    operators.Pipeline49,
+    operators.Pipeline50,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
