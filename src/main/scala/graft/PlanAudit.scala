@@ -99,9 +99,10 @@ object PlanAudit {
     "q_ml_calinski_harabasz" -> 1,
     // r14 batch 17: 1-row coefficient frame broadcast over day rows
     "q_time_granger" -> 1,
-    // r14 batch 17: two theta self-joins over the broadcast
-    // duration frame (risk sets + product-limit prefix)
-    "q_events_survival_km" -> 2,
+    // r14 batch 17: the product-limit prefix theta join over the
+    // broadcast duration frame (the risk-set theta join is hidden by
+    // the eager localCheckpoint, like burrows_delta's grid)
+    "q_events_survival_km" -> 1,
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
     "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta
