@@ -103,6 +103,9 @@ object PlanAudit {
     // broadcast duration frame (the risk-set theta join is hidden by
     // the eager localCheckpoint, like burrows_delta's grid)
     "q_events_survival_km" -> 1,
+    // r14 batch 19: the q_ml_pr_curve banded-curve pair (band-offset
+    // theta join + 1-row totals broadcast)
+    "q_ml_youden_j" -> 2,
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
     "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta

@@ -71,6 +71,7 @@ object SparkEntry {
     operators.Pipeline48,
     operators.Pipeline49,
     operators.Pipeline50,
+    operators.Pipeline51,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
