@@ -106,6 +106,8 @@ object PlanAudit {
     // r14 batch 19: the q_ml_pr_curve banded-curve pair (band-offset
     // theta join + 1-row totals broadcast)
     "q_ml_youden_j" -> 2,
+    // r14 batch 20: the same banded-curve pair under the DeLong CI
+    "q_ml_auc_delong" -> 2,
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
     "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta

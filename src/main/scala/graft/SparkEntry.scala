@@ -72,6 +72,7 @@ object SparkEntry {
     operators.Pipeline49,
     operators.Pipeline50,
     operators.Pipeline51,
+    operators.Pipeline52,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
