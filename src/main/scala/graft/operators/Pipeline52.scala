@@ -76,15 +76,20 @@ object Pipeline52 extends graft.QueryModule {
     val pairs = s.read.parquet(TextOps.ensureFullPairs(s, dir))
       .where(col("matches") >= 8).select("d1", "d2")
       .localCheckpoint(true)
-    val toks = graft.api.Text.tokens(Tables.documents(s, dir),
-      "doc_id", "text")
+    val docToks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+    // n-grams assembled at the ARRAY level (one narrow pass per n) —
+    // a token-frame self-join on (doc, ord+1) would re-shuffle the
+    // exploded corpus just to look one element left
     def grams(n: Int): DataFrame =
-      if (n == 1) toks.select(col("doc_id"), col("token").as("gram"))
-      else toks.as("a").join(toks.as("b"),
-          col("a.doc_id") === col("b.doc_id") &&
-            col("a.ord") + 1 === col("b.ord"))
-        .select(col("a.doc_id").as("doc_id"),
-          concat_ws(" ", col("a.token"), col("b.token")).as("gram"))
+      if (n == 1) docToks
+        .select(col("doc_id"), explode(col("toks")).as("gram"))
+      else docToks
+        .select(col("doc_id"), explode(expr(
+          "case when size(toks) < 2 then array()" +
+            " else transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(toks[i - 1], ' ', toks[i])) end")).as("gram"))
     def clipped(n: Int, name: String): DataFrame = {
       val c = grams(n).groupBy("doc_id", "gram")
         .agg(count(lit(1)).as("c")).localCheckpoint(true)
@@ -96,7 +101,8 @@ object Pipeline52 extends graft.QueryModule {
         .groupBy("d1", "d2")
         .agg(sum(expr("least(ch, cr)")).as(s"clip$name"))
     }
-    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val lens = docToks.select(col("doc_id"),
+      expr("cast(size(toks) as bigint)").as("len"))
     pairs
       .join(lens.select(col("doc_id").as("d1"), col("len").as("c_len")),
         Seq("d1"))
