@@ -108,6 +108,9 @@ object PlanAudit {
     "q_ml_youden_j" -> 2,
     // r14 batch 20: the same banded-curve pair under the DeLong CI
     "q_ml_auc_delong" -> 2,
+    // r14 batch 21: bandedCumSum's domain-bounded band-offset theta
+    // join over the distinct-|d| frame (the mannwhitney shape)
+    "q_ml_wilcoxon_signed" -> 1,
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
     "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta

@@ -73,6 +73,7 @@ object SparkEntry {
     operators.Pipeline50,
     operators.Pipeline51,
     operators.Pipeline52,
+    operators.Pipeline53,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
