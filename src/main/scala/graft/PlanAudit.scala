@@ -111,6 +111,16 @@ object PlanAudit {
     // r14 batch 21: bandedCumSum's domain-bounded band-offset theta
     // join over the distinct-|d| frame (the mannwhitney shape)
     "q_ml_wilcoxon_signed" -> 1,
+    // r14 batch 22: Kendall tau-b — the dominance theta join over the
+    // <= 550-cell (quantity x discount) joint-frequency frame, plus
+    // three 1-row scalar attaches (n0/n1/n2 tie frames)
+    "q_ml_kendall_tau" -> 4,
+    // r14 batch 22: Mann-Kendall — the day-pair theta join over the
+    // <= |days| (30) daily frame, plus two 1-row scalar attaches
+    "q_time_mann_kendall" -> 3,
+    // r14 batch 23: Cochran's Q — the 1-row R-totals x 1-row C-totals
+    // assembly crossJoin (both sides single-row aggs)
+    "q_ml_cochran_q" -> 1,
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
     "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta

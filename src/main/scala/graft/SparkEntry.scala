@@ -74,6 +74,8 @@ object SparkEntry {
     operators.Pipeline51,
     operators.Pipeline52,
     operators.Pipeline53,
+    operators.Pipeline54,
+    operators.Pipeline55,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
