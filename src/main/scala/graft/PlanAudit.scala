@@ -121,6 +121,13 @@ object PlanAudit {
     // r14 batch 23: Cochran's Q — the 1-row R-totals x 1-row C-totals
     // assembly crossJoin (both sides single-row aggs)
     "q_ml_cochran_q" -> 1,
+    // r14 batch 24: exact linear SHAP — the 1-row weight-frame
+    // broadcast under the deviation pass, duplicated by the two-row
+    // feature union (same subtree, counted per branch)
+    "q_ml_shap_linear" -> 2,
+    // r14 batch 24: Cook's distance — the 1-row moment-frame
+    // broadcast under the residual pass
+    "q_ml_influence" -> 1,
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
     "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta

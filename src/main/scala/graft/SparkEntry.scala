@@ -76,6 +76,7 @@ object SparkEntry {
     operators.Pipeline53,
     operators.Pipeline54,
     operators.Pipeline55,
+    operators.Pipeline56,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
