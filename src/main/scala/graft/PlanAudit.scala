@@ -128,6 +128,9 @@ object PlanAudit {
     // r14 batch 24: Cook's distance — the 1-row moment-frame
     // broadcast under the residual pass
     "q_ml_influence" -> 1,
+    // r14 batch 25: systematic sampling — bandedRank's domain-bounded
+    // band-offset theta join (the q_win_ntile shape)
+    "q_sample_systematic" -> 1,
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
     "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta

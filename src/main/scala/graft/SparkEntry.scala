@@ -77,6 +77,7 @@ object SparkEntry {
     operators.Pipeline54,
     operators.Pipeline55,
     operators.Pipeline56,
+    operators.Pipeline57,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -262,7 +262,7 @@ object ExtraText extends graft.QueryModule {
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard)
 
-  private val tokensSql =
+  private[operators] val tokensSql =
     """SELECT doc_id, tokens[s] AS token
       |FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens)+1)) AS s
       |      FROM (SELECT doc_id, str_split(lower(text), ' ') AS tokens FROM documents))
