@@ -78,6 +78,7 @@ object SparkEntry {
     operators.Pipeline55,
     operators.Pipeline56,
     operators.Pipeline57,
+    operators.Pipeline58,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
