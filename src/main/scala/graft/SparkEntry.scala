@@ -79,6 +79,7 @@ object SparkEntry {
     operators.Pipeline56,
     operators.Pipeline57,
     operators.Pipeline58,
+    operators.Pipeline59,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
