@@ -131,6 +131,10 @@ object PlanAudit {
     // r14 batch 25: systematic sampling — bandedRank's domain-bounded
     // band-offset theta join (the q_win_ntile shape)
     "q_sample_systematic" -> 1,
+    // r14 batch 28: Somers' D / gamma — the q_ml_kendall_tau plan
+    // verbatim (dominance theta join over the <= 550-cell frame +
+    // three 1-row tie-frame attaches)
+    "q_ml_somers_d" -> 4,
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
     "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta

@@ -80,6 +80,7 @@ object SparkEntry {
     operators.Pipeline57,
     operators.Pipeline58,
     operators.Pipeline59,
+    operators.Pipeline60,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
