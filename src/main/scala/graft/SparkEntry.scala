@@ -81,6 +81,7 @@ object SparkEntry {
     operators.Pipeline58,
     operators.Pipeline59,
     operators.Pipeline60,
+    operators.Pipeline61,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
