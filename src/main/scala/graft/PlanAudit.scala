@@ -135,6 +135,12 @@ object PlanAudit {
     // verbatim (dominance theta join over the <= 550-cell frame +
     // three 1-row tie-frame attaches)
     "q_ml_somers_d" -> 4,
+    // r14 batch 30: cost threshold — the q_ml_youden_j banded-curve
+    // pair (band-offset theta join + 1-row totals broadcast)
+    "q_ml_cost_threshold" -> 2,
+    // r14 batch 30: sequence gaps — bandedRank's band-offset theta
+    // join over the band summary frame
+    "q_profile_sequence_gaps" -> 1,
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
     "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta

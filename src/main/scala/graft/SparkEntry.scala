@@ -82,6 +82,7 @@ object SparkEntry {
     operators.Pipeline59,
     operators.Pipeline60,
     operators.Pipeline61,
+    operators.Pipeline62,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
