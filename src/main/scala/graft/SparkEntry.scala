@@ -83,6 +83,7 @@ object SparkEntry {
     operators.Pipeline60,
     operators.Pipeline61,
     operators.Pipeline62,
+    operators.Pipeline63,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
