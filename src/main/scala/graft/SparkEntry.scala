@@ -84,6 +84,7 @@ object SparkEntry {
     operators.Pipeline61,
     operators.Pipeline62,
     operators.Pipeline63,
+    operators.Pipeline64,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
