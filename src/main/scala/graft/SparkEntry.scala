@@ -85,6 +85,7 @@ object SparkEntry {
     operators.Pipeline62,
     operators.Pipeline63,
     operators.Pipeline64,
+    operators.Pipeline65,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
