@@ -86,6 +86,7 @@ object SparkEntry {
     operators.Pipeline63,
     operators.Pipeline64,
     operators.Pipeline65,
+    operators.Pipeline66,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
