@@ -87,6 +87,7 @@ object SparkEntry {
     operators.Pipeline64,
     operators.Pipeline65,
     operators.Pipeline66,
+    operators.Pipeline67,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
