@@ -88,6 +88,7 @@ object SparkEntry {
     operators.Pipeline65,
     operators.Pipeline66,
     operators.Pipeline67,
+    operators.Pipeline68,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
