@@ -89,6 +89,7 @@ object SparkEntry {
     operators.Pipeline66,
     operators.Pipeline67,
     operators.Pipeline68,
+    operators.Pipeline69,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
