@@ -235,26 +235,30 @@ object Pipeline23 extends graft.QueryModule {
     "q_events_changepoint" -> eventsChangepoint,
     "q_text_rake" -> textRake)
 
+  // All CTEs MATERIALIZED: DuckDB 1.0 inlines plain CTEs, and the
+  // kcore peel below references each e$i several times — without
+  // materialization the MinHash pipeline re-evaluates exponentially
+  // (the q_graph_hits r14 failure mode; kcore measured 8.3 s raw).
   private[operators] val pairsHead: String =
-    s"""WITH sh AS (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
+    s"""WITH sh AS MATERIALIZED (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
       |            FROM (${TextOps.shinglesSql})),
-      |perms(perm, a, b) AS (VALUES ${TextOps.permValuesSql}),
-      |sig AS (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
+      |perms(perm, a, b) AS MATERIALIZED (VALUES ${TextOps.permValuesSql}),
+      |sig AS MATERIALIZED (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
       |        FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
-      |pairs AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2
+      |pairs AS MATERIALIZED (SELECT s1.doc_id AS d1, s2.doc_id AS d2
       |          FROM sig s1 JOIN sig s2
       |            ON s1.perm = s2.perm AND s1.minh = s2.minh
       |           AND s1.doc_id < s2.doc_id
       |          GROUP BY d1, d2 HAVING COUNT(*) >= 8),
-      |e0 AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |e0 AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
       |       UNION ALL SELECT d2, d1 FROM pairs)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_graph_kcore" -> {
       val steps = (1 to 4).map { i =>
-        s"""n$i AS (SELECT src FROM e${i - 1}
+        s"""n$i AS MATERIALIZED (SELECT src FROM e${i - 1}
           |       GROUP BY src HAVING COUNT(*) >= 3),
-          |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+          |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
           |       JOIN n$i a ON a.src = e.src
           |       JOIN n$i b ON b.src = e.dst)""".stripMargin
       }

@@ -84,8 +84,12 @@ object Pipeline55 extends graft.QueryModule {
           " > 9.487729036781154D as reject5")
   }
 
-  /** ROLLING OLS SLOPE of daily revenue per event type — a 14-day
-    * trailing regression of the exact-integer daily cents on the
+  /** ROLLING OLS SLOPE of daily revenue per event type — a
+    * 14-OBSERVATION trailing regression (rowsBetween(-13, 0) over the
+    * (type, day) frame: 14 most recent observed days, which spans
+    * MORE than 14 calendar days when days are missing — the ROWS
+    * frame is what the DuckDB oracle mirrors) of the exact-integer
+    * daily cents on the
     * epoch-day index, from windowed integer moment sums (the
     * q_ml_linfit moment discipline under a window): slope =
     * (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), NULL while the window holds a

@@ -14,8 +14,10 @@ import graft.Tables
   */
 object Pipeline64 extends graft.QueryModule {
 
-  /** ROLLING EXACT MEDIAN of daily revenue per event type — a 14-day
-    * trailing ORDER STATISTIC (q_time_sma/ewma/rolling_corr are all
+  /** ROLLING EXACT MEDIAN of daily revenue per event type — a
+    * 14-OBSERVATION trailing ORDER STATISTIC (ROWS frame over the
+    * (type, day) grid; with gaps it spans more than 14 calendar days,
+    * identically on both engines) (q_time_sma/ewma/rolling_corr are all
     * moment-based; the median needs the window's value multiset).
     * Exact integer cents in, one interpolated median out, windows
     * partitioned by type.

@@ -40,7 +40,11 @@ object Pipeline65 extends graft.QueryModule {
           " + (n - x) * ln(0.45D / 0.55D)")).over(wCum).as("llr"))
     val wLast = Window.partitionBy("t").orderBy(col("d").desc)
     val wCross = Window.partitionBy("t").orderBy(col("d").asc)
-    val b = math.log(19.0)
+    // ln(19) pinned as an explicit double literal so the crossing flag,
+    // the decision column, and the DuckDB oracle all compare llr against
+    // the SAME bits — per-engine 2.9444389791664403 could differ by 1 ulp and flip
+    // a boundary row's classification (ADVICE r14)
+    val b = 2.9444389791664403
     walk
       .withColumn("crossed",
         col("llr") >= lit(b) || col("llr") <= lit(-b))
@@ -53,8 +57,8 @@ object Pipeline65 extends graft.QueryModule {
         (col("last_rk") === 1 && col("cross_rk") === 0L))
       .selectExpr("t as event_type", "d as decision_day",
         "round(llr, 6) as llr",
-        "case when llr >= ln(19.0D) then 'accept_h1'" +
-          " when llr <= -ln(19.0D) then 'accept_h0'" +
+        "case when llr >= 2.9444389791664403D then 'accept_h1'" +
+          " when llr <= -2.9444389791664403D then 'accept_h0'" +
           " else 'continue' end as decision")
       .orderBy("event_type")
   }
@@ -156,8 +160,8 @@ object Pipeline65 extends graft.QueryModule {
         |        PRECEDING AND CURRENT ROW) AS llr
         |  FROM daily),
         |flags AS (SELECT t, d, llr,
-        |    (llr >= ln(19.0) OR llr <= -ln(19.0)) AS crossed,
-        |    SUM(CASE WHEN llr >= ln(19.0) OR llr <= -ln(19.0)
+        |    (llr >= 2.9444389791664403 OR llr <= -2.9444389791664403) AS crossed,
+        |    SUM(CASE WHEN llr >= 2.9444389791664403 OR llr <= -2.9444389791664403
         |      THEN 1 ELSE 0 END) OVER (PARTITION BY t ORDER BY d
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS cross_rk,
@@ -166,8 +170,8 @@ object Pipeline65 extends graft.QueryModule {
         |  FROM walk)
         |SELECT t AS event_type, d AS decision_day,
         |  ROUND(llr, 6) AS llr,
-        |  CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
-        |    WHEN llr <= -ln(19.0) THEN 'accept_h0'
+        |  CASE WHEN llr >= 2.9444389791664403 THEN 'accept_h1'
+        |    WHEN llr <= -2.9444389791664403 THEN 'accept_h0'
         |    ELSE 'continue' END AS decision
         |FROM flags
         |WHERE (crossed AND cross_rk = 1)

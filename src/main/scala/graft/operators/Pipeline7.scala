@@ -108,97 +108,97 @@ object Pipeline7 extends graft.QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_pipeline_output" ->
       s"""WITH RECURSIVE
-        |input AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
-        |tok AS (SELECT doc_id, t AS token FROM
+        |input AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |tok AS MATERIALIZED (SELECT doc_id, t AS token FROM
         |          (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t
         |           FROM input) WHERE t <> ''),
-        |ntok AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
-        |s1 AS (SELECT i.doc_id, i.text FROM input i JOIN ntok USING (doc_id)
+        |ntok AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+        |s1 AS MATERIALIZED (SELECT i.doc_id, i.text FROM input i JOIN ntok USING (doc_id)
         |       WHERE n_tok >= 25),
-        |bl AS (SELECT doc_id, COUNT(*) AS n_blocked FROM tok
+        |bl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_blocked FROM tok
         |       WHERE token IN ('slow', 'error')
         |         AND doc_id IN (SELECT doc_id FROM s1) GROUP BY doc_id),
-        |s2 AS (SELECT s1.doc_id, s1.text FROM s1 LEFT JOIN bl USING (doc_id)
+        |s2 AS MATERIALIZED (SELECT s1.doc_id, s1.text FROM s1 LEFT JOIN bl USING (doc_id)
         |       WHERE COALESCE(n_blocked, 0) < 5),
-        |rep AS (SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS nd_tok FROM
+        |rep AS MATERIALIZED (SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS nd_tok FROM
         |          (SELECT doc_id, token, COUNT(*) AS c FROM tok
         |           WHERE doc_id IN (SELECT doc_id FROM s2)
         |           GROUP BY doc_id, token) GROUP BY doc_id),
-        |s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN rep USING (doc_id)
+        |s3 AS MATERIALIZED (SELECT s2.doc_id, s2.text FROM s2 JOIN rep USING (doc_id)
         |       WHERE (1000000 * (n_tok - nd_tok)) // n_tok <= 650000),
-        |sh3 AS (SELECT doc_id, unnest(list_distinct(
+        |sh3 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
         |          [l[i] || ' ' || l[i+1] || ' ' || l[i+2]
         |           for i in range(1, len(l)-1)])) AS shingle
         |        FROM (SELECT doc_id, str_split(lower(text), ' ') AS l
         |              FROM s3) WHERE len(l) >= 3),
-        |shid AS (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
+        |shid AS MATERIALIZED (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
         |         FROM sh3),
-        |perms(perm, a, b) AS (VALUES ${TextOps.permValuesSql}),
-        |sig AS (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
+        |perms(perm, a, b) AS MATERIALIZED (VALUES ${TextOps.permValuesSql}),
+        |sig AS MATERIALIZED (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
         |        FROM shid CROSS JOIN perms GROUP BY doc_id, perm),
-        |pairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2 FROM sig x
+        |pairs AS MATERIALIZED (SELECT x.doc_id AS d1, y.doc_id AS d2 FROM sig x
         |          JOIN sig y ON x.perm = y.perm AND x.minh = y.minh
         |            AND x.doc_id < y.doc_id
         |          GROUP BY d1, d2 HAVING COUNT(*) >= 8),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs
         |          UNION ALL SELECT d2, d1 FROM pairs),
         |walk(node, label) AS (
         |  SELECT DISTINCT a, a FROM edges
         |  UNION
         |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
         |  WHERE w.label < e.b),
-        |cc AS (SELECT node AS doc_id, MIN(label) AS cid FROM walk
+        |cc AS MATERIALIZED (SELECT node AS doc_id, MIN(label) AS cid FROM walk
         |       GROUP BY node),
-        |s4 AS (SELECT s3.doc_id, s3.text FROM s3 LEFT JOIN cc USING (doc_id)
+        |s4 AS MATERIALIZED (SELECT s3.doc_id, s3.text FROM s3 LEFT JOIN cc USING (doc_id)
         |       WHERE COALESCE(cid, doc_id) = doc_id),
-        |g4 AS (SELECT doc_id, unnest(list_distinct(
+        |g4 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
         |         [array_to_string(l[i:i+7], ' ')
         |          for i in range(1, len(l)-6)])) AS gram
         |       FROM (SELECT doc_id, str_split(lower(text), ' ') AS l
         |             FROM s4) WHERE len(l) >= 8),
-        |gp AS (SELECT doc_id, unnest(list_distinct(
+        |gp AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
         |         [array_to_string(l[i:i+7], ' ')
         |          for i in range(1, len(l)-6)])) AS gram
         |       FROM (SELECT doc_id, str_split(lower(text), ' ') AS l
         |             FROM documents WHERE doc_id % 7 = 0)
         |       WHERE len(l) >= 8),
-        |cont AS (SELECT DISTINCT g4.doc_id FROM g4 JOIN gp USING (gram)),
-        |sv AS (SELECT s4.doc_id, s4.text, d.lang
+        |cont AS MATERIALIZED (SELECT DISTINCT g4.doc_id FROM g4 JOIN gp USING (gram)),
+        |sv AS MATERIALIZED (SELECT s4.doc_id, s4.text, d.lang
         |       FROM s4 JOIN documents d USING (doc_id)
         |       WHERE s4.doc_id NOT IN (SELECT doc_id FROM cont)),
-        |shF AS (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
+        |shF AS MATERIALIZED (SELECT doc_id, ${TextOps.polyHashSql("shingle")} AS sid
         |        FROM (${TextOps.shinglesSql})),
-        |sigF AS (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
+        |sigF AS MATERIALIZED (SELECT doc_id, perm, MIN((a * sid + b) % 2147483647) AS minh
         |         FROM shF CROSS JOIN perms GROUP BY doc_id, perm),
-        |pairsF AS (SELECT x.doc_id AS d1, y.doc_id AS d2 FROM sigF x
+        |pairsF AS MATERIALIZED (SELECT x.doc_id AS d1, y.doc_id AS d2 FROM sigF x
         |           JOIN sigF y ON x.perm = y.perm AND x.minh = y.minh
         |             AND x.doc_id < y.doc_id
         |           GROUP BY d1, d2 HAVING COUNT(*) >= 8),
-        |edgesF AS (SELECT d1 AS a, d2 AS b FROM pairsF
+        |edgesF AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairsF
         |           UNION ALL SELECT d2, d1 FROM pairsF),
         |walkF(node, label) AS (
         |  SELECT DISTINCT a, a FROM edgesF
         |  UNION
         |  SELECT e.b, w.label FROM walkF w JOIN edgesF e ON e.a = w.node
         |  WHERE w.label < e.b),
-        |ccF AS (SELECT node AS doc_id, MIN(label) AS cid FROM walkF
+        |ccF AS MATERIALIZED (SELECT node AS doc_id, MIN(label) AS cid FROM walkF
         |        GROUP BY node),
-        |ns AS (SELECT lang, COUNT(*) AS ns FROM sv GROUP BY lang),
-        |ws AS (SELECT lang, ns, CAST(FLOOR(SQRT(ns)) AS BIGINT) AS wgt
+        |ns AS MATERIALIZED (SELECT lang, COUNT(*) AS ns FROM sv GROUP BY lang),
+        |ws AS MATERIALIZED (SELECT lang, ns, CAST(FLOOR(SQRT(ns)) AS BIGINT) AS wgt
         |       FROM ns),
-        |sw AS (SELECT SUM(wgt) AS sum_w FROM ws),
-        |ks AS (SELECT lang, LEAST(ns, (600 * wgt) // sum_w) AS ks
+        |sw AS MATERIALIZED (SELECT SUM(wgt) AS sum_w FROM ws),
+        |ks AS MATERIALIZED (SELECT lang, LEAST(ns, (600 * wgt) // sum_w) AS ks
         |       FROM ws CROSS JOIN sw),
-        |rk AS (SELECT sv.*, ROW_NUMBER() OVER (PARTITION BY lang
+        |rk AS MATERIALIZED (SELECT sv.*, ROW_NUMBER() OVER (PARTITION BY lang
         |         ORDER BY (doc_id * 1103515245 + 12345) % 1000000007 ASC,
         |                  doc_id ASC) AS rn
         |       FROM sv),
-        |mixed AS (SELECT rk.doc_id, rk.text FROM rk JOIN ks USING (lang)
+        |mixed AS MATERIALIZED (SELECT rk.doc_id, rk.text FROM rk JOIN ks USING (lang)
         |          WHERE rn <= ks),
-        |asg AS (SELECT m.doc_id, m.text,
+        |asg AS MATERIALIZED (SELECT m.doc_id, m.text,
         |          COALESCE(ccF.cid, m.doc_id) AS rep
         |        FROM mixed m LEFT JOIN ccF USING (doc_id)),
-        |rows_ AS (SELECT
+        |rows_ AS MATERIALIZED (SELECT
         |    CASE WHEN (rep * 1103515245 + 12345) % 1000000007 % 100 < 80
         |           THEN 'train'
         |         WHEN (rep * 1103515245 + 12345) % 1000000007 % 100 < 90
@@ -207,10 +207,10 @@ object Pipeline7 extends graft.QueryModule {
         |    (doc_id * 1103515245 + 12345) % 1000000007 % 8 AS shard,
         |    length(text) AS w
         |  FROM asg),
-        |sh AS (SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |sh AS MATERIALIZED (SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |         CAST(SUM(w) AS BIGINT) AS weight
         |       FROM rows_ GROUP BY split, shard),
-        |tw AS (SELECT split, SUM(weight) AS tot_w FROM sh GROUP BY split)
+        |tw AS MATERIALIZED (SELECT split, SUM(weight) AS tot_w FROM sh GROUP BY split)
         |SELECT sh.split, sh.shard, sh.n_rows, sh.weight,
         |  CAST((1000000 * CAST(sh.weight AS HUGEINT)) // tw.tot_w
         |    AS BIGINT) AS share_ppm
