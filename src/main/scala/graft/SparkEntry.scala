@@ -90,6 +90,7 @@ object SparkEntry {
     operators.Pipeline67,
     operators.Pipeline68,
     operators.Pipeline69,
+    operators.Pipeline70,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
