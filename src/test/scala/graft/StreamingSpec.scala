@@ -4,8 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Ring 2 streaming (SURVEY.md §2.9/§5): the SAME transforms that the
@@ -44,6 +45,74 @@ class RunningAggProcessor
     rows.foreach { e => cnt += 1; if (e.value > mx) mx = e.value }
     st.update((cnt, mx))
     Iterator.single((key, cnt, mx))
+  }
+}
+
+/** Spark 4 transformWithState SESSIONIZER — the full arbitrary-state
+  * surface in one processor: a ListState buffers the open window's
+  * (ts_ms, event_type) pairs, a MapState carries the user's LIFETIME
+  * per-type counts across session closes (state that survives list
+  * clears), and an EVENT-TIME TIMER at last-event + gap + 1 closes
+  * sessions when the watermark passes (the expiry path a production
+  * sessionizer runs on). Gap rule mirrors the graded batch twin
+  * (Windows.sessionizeEvents): split only when the gap EXCEEDS 30 min
+  * (an event exactly `gap` later merges), hence close only when
+  * wm > end + gap. Output per closed session: (user, start_ms,
+  * end_ms, n_events, lifetime_session_idx, lifetime type counts
+  * rendered sorted). */
+class SessionizerProcessor(gapMs: Long)
+  extends StatefulProcessor[Long, Ev, (Long, Long, Long, Long, Long, String)] {
+  @transient private var buf: ListState[(Long, String)] = _
+  @transient private var life: MapState[String, Long] = _
+  @transient private var nSess: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[(Long, String)]("buf",
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING), TTLConfig.NONE)
+    life = getHandle.getMapState[String, Long]("life",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    nSess = getHandle.getValueState[Long]("n_sess",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+  private def rearm(): Unit = {
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    if (buf.exists()) {
+      val end = buf.get().map(_._1).max
+      getHandle.registerTimer(end + gapMs + 1)
+    }
+  }
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      tv: TimerValues): Iterator[(Long, Long, Long, Long, Long, String)] = {
+    rows.foreach(e => buf.appendValue((e.ts.getTime, e.event_type)))
+    rearm()
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Long, String)] = {
+    val wm = tv.getCurrentWatermarkInMs
+    val all = buf.get().toSeq.sortBy(identity)
+    // gap-split the buffer into sessions (strict >, the batch rule)
+    val sessions = all.foldLeft(Vector.empty[Vector[(Long, String)]]) {
+      case (acc, ev) =>
+        if (acc.nonEmpty && ev._1 - acc.last.last._1 <= gapMs)
+          acc.init :+ (acc.last :+ ev)
+        else acc :+ Vector(ev)
+    }
+    // close only sessions no future event (ts >= wm) can still merge
+    val (closed, open) = sessions.partition(s => s.last._1 + gapMs < wm)
+    val out = closed.map { s =>
+      s.foreach { case (_, t) =>
+        life.updateValue(t,
+          (if (life.containsKey(t)) life.getValue(t) else 0L) + 1L) }
+      val idx = (if (nSess.exists()) nSess.get() else 0L) + 1L
+      nSess.update(idx)
+      val rendered = life.iterator().toSeq.sortBy(_._1)
+        .map { case (t, n) => s"$t:$n" }.mkString(",")
+      (key, s.head._1, s.last._1, s.size.toLong, idx, rendered)
+    }
+    buf.clear()
+    open.flatten.foreach(buf.appendValue)
+    rearm()
+    out.iterator
   }
 }
 
@@ -587,6 +656,76 @@ class StreamingSpec extends AnyFunSuite {
         .count()
       assert(bad == 0, "transformWithState diverges from batch aggregate")
       assert(streamed.count() == batch.count())
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => sp.conf.set(providerKey, v)
+        case None => sp.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("transformWithState sessionizer: ListState+MapState+event-time " +
+      "timers == batch gap sessions") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(providerKey)
+    sp.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val gapMs = 30L * 60 * 1000
+    val data = eventsSample()
+    val maxTs = data.map(_.ts.getTime).max
+    val mem = MemoryStream[Ev]
+    val q = mem.toDS().withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Update())
+      .toDF("user_id", "start_ms", "end_ms", "n_events", "sess_idx",
+        "life_types")
+      .writeStream.format("memory").queryName("t_sessionizer")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val (a, b) = data.splitAt(data.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past
+      // every real session's close point, the second gives the armed
+      // timers a micro-batch to fire in
+      mem.addData(Ev(-1L, new Timestamp(maxTs + 20 * gapMs), -1L, "x", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(-2L, new Timestamp(maxTs + 21 * gapMs), -1L, "x", 0.0))
+      q.processAllAvailable()
+      val streamed = sp.table("t_sessionizer").where(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5)))
+        .sortBy(x => (x._1, x._2))
+      // Scala re-derivation of the same gap sessions + lifetime counts
+      val expected = data.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+        val sorted = evs.map(e => (e.ts.getTime, e.event_type))
+          .sortBy(identity)
+        val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, String)]]) {
+          case (acc, ev) =>
+            if (acc.nonEmpty && ev._1 - acc.last.last._1 <= gapMs)
+              acc.init :+ (acc.last :+ ev)
+            else acc :+ Vector(ev)
+        }
+        val life = collection.mutable.Map.empty[String, Long]
+        sessions.zipWithIndex.map { case (s, i) =>
+          s.foreach { case (_, t) => life(t) = life.getOrElse(t, 0L) + 1 }
+          val rendered = life.toSeq.sortBy(_._1)
+            .map { case (t, n) => s"$t:$n" }.mkString(",")
+          (u, s.head._1, s.last._1, s.size.toLong, (i + 1).toLong, rendered)
+        }
+      }.sortBy(x => (x._1, x._2))
+      assert(streamed.length == expected.length,
+        s"${streamed.length} streamed sessions vs ${expected.length} derived")
+      assert(streamed.toSeq == expected.toSeq)
+      // the fixture actually exercises multi-session users and >1 type
+      assert(expected.exists(_._5 > 1L), "fixture has a multi-session user")
+      assert(expected.exists(_._6.contains(",")), "lifetime map has >1 type")
     } finally {
       q.stop()
       prev match {
