@@ -158,7 +158,11 @@ object PlanAudit {
     "q_ml_mannwhitney" -> 1, "q_text_zipf" -> 1,
     // r14 batch 6: spearman runs the band-offset theta join once per
     // ranked variable
-    "q_ml_spearman" -> 2)
+    "q_ml_spearman" -> 2,
+    // r15 batch 39: psi's 1-row grand-total crossJoin(broadcast)
+    // scalar attach; kruskal_wallis's bandedCumSum band-offset theta
+    // join (bands x bands, price-domain-bounded <= ~10)
+    "q_ml_psi" -> 1, "q_ml_kruskal_wallis" -> 1)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

@@ -91,6 +91,7 @@ object SparkEntry {
     operators.Pipeline68,
     operators.Pipeline69,
     operators.Pipeline70,
+    operators.Pipeline71,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
