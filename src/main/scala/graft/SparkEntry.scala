@@ -92,6 +92,7 @@ object SparkEntry {
     operators.Pipeline69,
     operators.Pipeline70,
     operators.Pipeline71,
+    operators.Pipeline72,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
