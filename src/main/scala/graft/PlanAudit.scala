@@ -162,7 +162,10 @@ object PlanAudit {
     // r15 batch 39: psi's 1-row grand-total crossJoin(broadcast)
     // scalar attach; kruskal_wallis's bandedCumSum band-offset theta
     // join (bands x bands, price-domain-bounded <= ~10)
-    "q_ml_psi" -> 1, "q_ml_kruskal_wallis" -> 1)
+    "q_ml_psi" -> 1, "q_ml_kruskal_wallis" -> 1,
+    // r15 batch 41: pack's bandedCumSum band-offset theta join
+    // (doc_id-band x band, bands = ids/1000 - corpus-bounded)
+    "q_pipeline_pack" -> 1)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

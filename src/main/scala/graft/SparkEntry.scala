@@ -93,6 +93,7 @@ object SparkEntry {
     operators.Pipeline70,
     operators.Pipeline71,
     operators.Pipeline72,
+    operators.Pipeline73,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
