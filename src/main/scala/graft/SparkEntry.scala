@@ -94,6 +94,7 @@ object SparkEntry {
     operators.Pipeline71,
     operators.Pipeline72,
     operators.Pipeline73,
+    operators.Pipeline74,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
@@ -104,14 +105,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Aggregates.pricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+  /** One entry per implemented operator from SURVEY.md §2. A
+    * duplicate key across modules would SILENTLY shadow the earlier
+    * implementation (Map semantics) — round 15 nearly shipped two
+    * such collisions — so the merge fails loudly instead. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_.queries)
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate graded keys across modules: ${dups.mkString(", ")}")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    modules.flatMap(_.oracleSql).toMap
+  def oracleSql: Map[String, String] = {
+    val all = modules.flatMap(_.oracleSql)
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate oracle keys across modules: ${dups.mkString(", ")}")
+    all.toMap
+  }
 }
 
 /** A group of related graded operators. */
