@@ -165,7 +165,10 @@ object PlanAudit {
     "q_ml_psi" -> 1, "q_ml_kruskal_wallis" -> 1,
     // r15 batch 41: pack's bandedCumSum band-offset theta join
     // (doc_id-band x band, bands = ids/1000 - corpus-bounded)
-    "q_pipeline_pack" -> 1)
+    "q_pipeline_pack" -> 1,
+    // r15 batch 43: byte histogram's 1-row grand-total
+    // crossJoin(broadcast) scalar attach over the 256-row frame
+    "q_multimodal_byte_histogram" -> 1)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

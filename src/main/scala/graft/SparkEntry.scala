@@ -95,6 +95,7 @@ object SparkEntry {
     operators.Pipeline72,
     operators.Pipeline73,
     operators.Pipeline74,
+    operators.Pipeline75,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
