@@ -49,7 +49,12 @@ object PlanAudit {
       ("stage-survival lag over the <= |stages| (5) per-stage count frame",
         1),
     "q_ml_pic" ->
-      ("size-rank over the <= k (4) cluster-size frame", 1))
+      ("size-rank over the <= k (4) cluster-size frame", 1),
+    // r15 batch 44: the skyline staircase's running max over the
+    // <= |calendar| (~2.4k) per-date max frame — date-domain
+    // bounded, never a function of order rows
+    "q_agg_skyline" ->
+      ("running max over the <= |calendar| per-date max frame", 1))
 
   /** Keys whose plan carries a CartesianProduct that is BLOCK-scale
     * by construction, with its documented bound. Normally a hard
@@ -168,7 +173,10 @@ object PlanAudit {
     "q_pipeline_pack" -> 1,
     // r15 batch 43: byte histogram's 1-row grand-total
     // crossJoin(broadcast) scalar attach over the 256-row frame
-    "q_multimodal_byte_histogram" -> 1)
+    "q_multimodal_byte_histogram" -> 1,
+    // r15 batch 44: centroid cosine's l1<l2 pair theta join over the
+    // broadcast 10-row label-domain frame
+    "q_vec_centroid_distance" -> 1)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

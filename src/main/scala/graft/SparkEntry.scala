@@ -96,6 +96,7 @@ object SparkEntry {
     operators.Pipeline73,
     operators.Pipeline74,
     operators.Pipeline75,
+    operators.Pipeline76,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
