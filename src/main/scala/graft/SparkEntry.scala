@@ -97,6 +97,7 @@ object SparkEntry {
     operators.Pipeline74,
     operators.Pipeline75,
     operators.Pipeline76,
+    operators.Pipeline77,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
