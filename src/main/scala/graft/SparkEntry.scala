@@ -98,6 +98,7 @@ object SparkEntry {
     operators.Pipeline75,
     operators.Pipeline76,
     operators.Pipeline77,
+    operators.Pipeline78,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
