@@ -99,6 +99,7 @@ object SparkEntry {
     operators.Pipeline76,
     operators.Pipeline77,
     operators.Pipeline78,
+    operators.Pipeline79,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
