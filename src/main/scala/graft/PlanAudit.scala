@@ -176,7 +176,10 @@ object PlanAudit {
     "q_multimodal_byte_histogram" -> 1,
     // r15 batch 44: centroid cosine's l1<l2 pair theta join over the
     // broadcast 10-row label-domain frame
-    "q_vec_centroid_distance" -> 1)
+    "q_vec_centroid_distance" -> 1,
+    // r15 batch 48: Tukey HSD's s1<s2 pair theta join over the 3-row
+    // status frame + the 1-row MSW crossJoin(broadcast)
+    "q_ml_tukey_hsd" -> 2)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

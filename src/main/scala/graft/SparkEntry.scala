@@ -100,6 +100,7 @@ object SparkEntry {
     operators.Pipeline77,
     operators.Pipeline78,
     operators.Pipeline79,
+    operators.Pipeline80,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
