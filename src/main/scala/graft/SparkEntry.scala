@@ -101,6 +101,7 @@ object SparkEntry {
     operators.Pipeline78,
     operators.Pipeline79,
     operators.Pipeline80,
+    operators.Pipeline81,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
