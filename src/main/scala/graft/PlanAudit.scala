@@ -179,7 +179,10 @@ object PlanAudit {
     "q_vec_centroid_distance" -> 1,
     // r15 batch 48: Tukey HSD's s1<s2 pair theta join over the 3-row
     // status frame + the 1-row MSW crossJoin(broadcast)
-    "q_ml_tukey_hsd" -> 2)
+    "q_ml_tukey_hsd" -> 2,
+    // r15 batch 50: dow-hour's 1-row grand-total crossJoin(broadcast)
+    // over the <= 168-cell frame
+    "q_events_dow_hour" -> 1)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

@@ -102,6 +102,7 @@ object SparkEntry {
     operators.Pipeline79,
     operators.Pipeline80,
     operators.Pipeline81,
+    operators.Pipeline82,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
