@@ -182,7 +182,11 @@ object PlanAudit {
     "q_ml_tukey_hsd" -> 2,
     // r15 batch 50: dow-hour's 1-row grand-total crossJoin(broadcast)
     // over the <= 168-cell frame
-    "q_events_dow_hour" -> 1)
+    "q_events_dow_hour" -> 1,
+    // r15 batch 51: boost stumps' two candidate x day theta joins
+    // (15 grid thresholds x the calendar-bounded daily frame, one
+    // per boosting round)
+    "q_ml_boost_stumps" -> 2)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

@@ -103,6 +103,7 @@ object SparkEntry {
     operators.Pipeline80,
     operators.Pipeline81,
     operators.Pipeline82,
+    operators.Pipeline83,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
