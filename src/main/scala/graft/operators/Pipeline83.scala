@@ -149,18 +149,27 @@ object Pipeline83 extends graft.QueryModule {
     * bit-identical (the batch-41 discipline).
     *
     * 100 TB: a pure per-row projection to one 16-bit int, then one
-    * hash agg on the ≤65536-value fingerprint domain. */
+    * hash agg on the ≤65536-value fingerprint domain. The ±1 matrix
+    * is data-independent, so the 16 plane vectors are built at PLAN
+    * time as literal arrays and each bit is one codegen'd graft_dot
+    * tight loop (VERDICT r15 #1 — the interpreted 16×64 HOF fold was
+    * ~2-4 ms/row, a per-row CPU constant that turns into ~30 CPU-days
+    * per 1B vectors; the sum order per plane is the same ascending-d
+    * fold, so the integers are unchanged). */
   def vecSrpFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(s)
+    def planeSql(j: Int): String = (0 until 64).map { d =>
+      if (((d * 64L + j) * 1103515245L + 12345L) % 1000000007L % 2L == 0L)
+        "1D" else "-1D"
+    }.mkString("array(", ",", ")")
+    val fpSql = (0 until 16).map { j =>
+      s"(case when graft_dot(e, ${planeSql(j)}) > 0D then ${1L << j}L else 0L end)"
+    }.mkString(" + ")
     Tables.embeddings(s, dir)
       .select(col("vec_id").cast("long").as("vec_id"),
         col("label").cast("long").as("label"),
         expr("transform(embedding, x -> cast(x as double))").as("e"))
-      .select(col("vec_id"), col("label"),
-        expr("aggregate(sequence(0, 15), 0L, (acc, j) -> acc + " +
-          "(case when aggregate(sequence(0, 63), 0D, (a, d) -> " +
-          "a + e[d] * (case when ((d * 64 + j) * 1103515245L" +
-          " + 12345) % 1000000007 % 2 = 0 then 1D else -1D end))" +
-          " > 0D then shiftleft(1L, j) else 0L end))").as("fp"))
+      .select(col("vec_id"), col("label"), expr(fpSql).as("fp"))
       .groupBy("fp")
       .agg(count(lit(1)).as("n_vectors"),
         countDistinct("label").as("n_labels"),
