@@ -55,9 +55,14 @@ def main():
         sql = oracles[name]
         done = threading.Event()
 
-        def watchdog():
+        # bind THIS iteration's event/name at definition time — a
+        # late-scheduled watchdog reading loop vars by closure would
+        # wait on a later key's event and interrupt the wrong query,
+        # misattributing a hang (ADVICE r15)
+        def watchdog(done=done, name=name):
             # hard stop at 2x budget: record the hang, keep sweeping
             if not done.wait(per_key * 2):
+                print(f"WATCHDOG interrupting {name}")
                 con.interrupt()
 
         w = threading.Thread(target=watchdog, daemon=True)

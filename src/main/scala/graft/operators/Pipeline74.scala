@@ -40,27 +40,36 @@ object Pipeline74 extends graft.QueryModule {
           "case when size(toks) < 2 then array()" +
             " else transform(sequence(1, size(toks) - 1)," +
             " i -> concat(toks[i - 1], ' ', toks[i])) end")).as("gram"))
-    def stats(n: Int): DataFrame = {
-      val c = grams(n).groupBy("doc_id", "gram")
-        .agg(count(lit(1)).as("c")).localCheckpoint(true)
-      val tot = c.groupBy("doc_id").agg(sum("c").as("t"))
-      pairs
-        .join(c.select(col("doc_id").as("d1"), col("gram"),
-          col("c").as("ch")), Seq("d1"))
-        .join(c.select(col("doc_id").as("d2"), col("gram"),
-          col("c").as("cr")), Seq("d2", "gram"))
-        .groupBy("d1", "d2")
-        .agg(sum(expr("least(ch, cr)")).as("clip"))
-        .join(tot.select(col("doc_id").as("d1"), col("t").as("ct")),
-          Seq("d1"))
-        .join(tot.select(col("doc_id").as("d2"), col("t").as("rt")),
-          Seq("d2"))
-        .select(col("d1"), col("d2"), col("clip").as(s"clip$n"),
-          col("ct").as(s"ct$n"), col("rt").as(s"rt$n"))
-    }
+    def counts(n: Int): DataFrame = grams(n).groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    def tot(c: DataFrame): DataFrame =
+      c.groupBy("doc_id").agg(sum("c").as("t"))
+    def clip(c: DataFrame, n: Int): DataFrame = pairs
+      .join(c.select(col("doc_id").as("d1"), col("gram"),
+        col("c").as("ch")), Seq("d1"))
+      .join(c.select(col("doc_id").as("d2"), col("gram"),
+        col("c").as("cr")), Seq("d2", "gram"))
+      .groupBy("d1", "d2")
+      .agg(sum(expr("least(ch, cr)")).as(s"clip$n"))
+    val (c1, c2) = (counts(1), counts(2))
+    val (t1, t2) = (tot(c1), tot(c2))
+    // gram totals join to pairs UNCONDITIONALLY (the oracle's t1/t2
+    // join topology): a pair sharing zero unigrams still carries its
+    // denominators, so rouge1 ratios read 0, never NULL (ADVICE r15).
+    // t1 joins are inner (every doc has >=1 unigram; a tokenless doc
+    // would drop from the oracle's prs the same way); t2 stays left
+    // (single-token docs have no bigrams).
     pairs
-      .join(stats(1), Seq("d1", "d2"), "left")
-      .join(stats(2), Seq("d1", "d2"), "left")
+      .join(clip(c1, 1), Seq("d1", "d2"), "left")
+      .join(clip(c2, 2), Seq("d1", "d2"), "left")
+      .join(t1.select(col("doc_id").as("d1"), col("t").as("ct1")),
+        Seq("d1"))
+      .join(t1.select(col("doc_id").as("d2"), col("t").as("rt1")),
+        Seq("d2"))
+      .join(t2.select(col("doc_id").as("d1"), col("t").as("ct2")),
+        Seq("d1"), "left")
+      .join(t2.select(col("doc_id").as("d2"), col("t").as("rt2")),
+        Seq("d2"), "left")
       .select(col("d1"), col("d2"),
         coalesce(col("clip1"), lit(0L)).as("m1"),
         coalesce(col("clip2"), lit(0L)).as("m2"),
@@ -80,8 +89,9 @@ object Pipeline74 extends graft.QueryModule {
 
   /** LINEAR MULTI-TOUCH ATTRIBUTION — each purchase's value splits
     * equally (in exact micro-cent units, (cents·1e6) div n per
-    * touch + the div remainder attributed to the purchase row
-    * itself so mass conserves) across the user's view/click touches
+    * touch; mass conserves up to the div remainder, <n_touch
+    * micro-cents per touched purchase — Pipeline74Spec pins that
+    * bounded shortfall) across the user's view/click touches
     * in the 7 days before it. Per touch type: touched conversions,
     * touch credits, credited micro-cents — the credit table behind
     * every "which channel drove revenue" readout.
