@@ -104,6 +104,7 @@ object SparkEntry {
     operators.Pipeline81,
     operators.Pipeline82,
     operators.Pipeline83,
+    operators.Pipeline84,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
