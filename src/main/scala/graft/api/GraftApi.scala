@@ -439,6 +439,43 @@ object Dedup {
       .where(col("matches") >= minMatches)
   }
 
+  /** [[minhashCandidates]] with a HOT-BAND CAP — the 100 TB guard for
+    * template-heavy corpora (boilerplate pages, near-identical log
+    * lines) where one (perm, minh) bucket can hold thousands of docs
+    * and the band self-join expands it QUADRATICALLY: buckets with
+    * more than `maxBucket` members are excluded from pairing
+    * wholesale (skipping beats splitting here — a salt would still
+    * emit the quadratic pair set, just across more tasks, and a
+    * bucket that hot is boilerplate the band carries no signal for;
+    * near-dup pairs inside it still surface through their OTHER,
+    * colder bands, which is why fixture recall is unchanged at any
+    * honest cap — DedupCapSpec pins that and the bound).
+    *
+    * No-silent-caps rule: the skipped buckets are RETURNED, not
+    * dropped — (perm, minh, bucket_n) — so a pipeline can count/log
+    * exactly what was excluded. `maxBucket = Int.MaxValue` returns
+    * byte-identical pairs to [[minhashCandidates]] with an empty
+    * skip frame. The bucket-size pass is one extra agg over the
+    * signature frame (16 rows/doc), never over pairs. */
+  def minhashCandidatesCapped(sig: DataFrame, idCol: String,
+      minMatches: Int, maxBucket: Int): (DataFrame, DataFrame) = {
+    val base = sig.select(col(idCol).as("d"), col("perm"), col("minh"))
+    val skipped = base.groupBy("perm", "minh")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+    val kept =
+      if (maxBucket == Int.MaxValue) base
+      else base.join(skipped.select("perm", "minh"),
+        Seq("perm", "minh"), "left_anti")
+    val s1 = kept.select(col("d").as("d1"), col("perm"), col("minh"))
+    val s2 = kept.select(col("d").as("d2"), col("perm"), col("minh"))
+    val pairs = s1.join(s2, Seq("perm", "minh"))
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("matches"))
+      .where(col("matches") >= minMatches)
+    (pairs, skipped)
+  }
+
   /** k-word shingle ARRAY per row from a pre-split token-array column —
     * the no-explode form of Text.shingles, usable where aggregation and
     * explode-regroup are unavailable (a STREAMING ingestion row signs
