@@ -105,6 +105,7 @@ object SparkEntry {
     operators.Pipeline82,
     operators.Pipeline83,
     operators.Pipeline84,
+    operators.Pipeline85,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
