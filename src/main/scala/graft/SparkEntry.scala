@@ -106,6 +106,7 @@ object SparkEntry {
     operators.Pipeline83,
     operators.Pipeline84,
     operators.Pipeline85,
+    operators.Pipeline86,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
