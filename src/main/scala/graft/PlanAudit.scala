@@ -186,7 +186,16 @@ object PlanAudit {
     // r15 batch 51: boost stumps' two candidate x day theta joins
     // (15 grid thresholds x the calendar-bounded daily frame, one
     // per boosting round)
-    "q_ml_boost_stumps" -> 2)
+    "q_ml_boost_stumps" -> 2,
+    // r16 batch 53: nmi_ari's two 1-row moment-frame crossJoins
+    // (row-marginal and column-marginal aggs onto the cell agg)
+    "q_ml_nmi_ari" -> 2,
+    // r16 batch 54: bm25/good_turing 1-row corpus-total
+    // crossJoin(broadcast) scalar attaches; theils_u's two 1-row
+    // marginal-entropy attaches; gk_gamma's dense-grid crossJoin of
+    // the two distinct-value frames (<= 50 x 11, domain-bounded)
+    "q_text_bm25" -> 1, "q_text_good_turing" -> 1,
+    "q_ml_theils_u" -> 2, "q_ml_gk_gamma" -> 1)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */
