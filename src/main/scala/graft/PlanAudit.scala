@@ -195,7 +195,10 @@ object PlanAudit {
     // marginal-entropy attaches; gk_gamma's dense-grid crossJoin of
     // the two distinct-value frames (<= 50 x 11, domain-bounded)
     "q_text_bm25" -> 1, "q_text_good_turing" -> 1,
-    "q_ml_theils_u" -> 2, "q_ml_gk_gamma" -> 1)
+    "q_ml_theils_u" -> 2, "q_ml_gk_gamma" -> 1,
+    // r16 batch 55: weighted kappa's 5x5 marginal-product crossJoin
+    // + the 1-row obs x expected assembly
+    "q_ml_weighted_kappa" -> 2)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

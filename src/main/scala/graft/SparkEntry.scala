@@ -107,6 +107,7 @@ object SparkEntry {
     operators.Pipeline84,
     operators.Pipeline85,
     operators.Pipeline86,
+    operators.Pipeline87,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
