@@ -198,7 +198,10 @@ object PlanAudit {
     "q_ml_theils_u" -> 2, "q_ml_gk_gamma" -> 1,
     // r16 batch 55: weighted kappa's 5x5 marginal-product crossJoin
     // + the 1-row obs x expected assembly
-    "q_ml_weighted_kappa" -> 2)
+    "q_ml_weighted_kappa" -> 2,
+    // r16 batch 56: multilabel metrics' two 1-row metric-frame
+    // crossJoins (user rollup + macro fold onto the micro agg)
+    "q_ml_multilabel_metrics" -> 2)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

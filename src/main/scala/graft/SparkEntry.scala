@@ -108,6 +108,7 @@ object SparkEntry {
     operators.Pipeline85,
     operators.Pipeline86,
     operators.Pipeline87,
+    operators.Pipeline88,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
