@@ -109,6 +109,7 @@ object SparkEntry {
     operators.Pipeline86,
     operators.Pipeline87,
     operators.Pipeline88,
+    operators.Pipeline89,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,

@@ -156,15 +156,36 @@ object Pipeline83 extends graft.QueryModule {
     * ~2-4 ms/row, a per-row CPU constant that turns into ~30 CPU-days
     * per 1B vectors; the sum order per plane is the same ascending-d
     * fold, so the integers are unchanged). */
-  def vecSrpFingerprint(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExprs.ensureRegistered(s)
+  /** The 16-bit SRP fingerprint SQL over a column named `e`
+    * (array<double>, 64-dim) — literal plane arrays + codegen
+    * graft_dot; shared with the Hamming-agreement curve
+    * (Pipeline89). Caller must ensureRegistered(graft_dot). */
+  private[operators] val srpFpSql: String = {
     def planeSql(j: Int): String = (0 until 64).map { d =>
       if (((d * 64L + j) * 1103515245L + 12345L) % 1000000007L % 2L == 0L)
         "1D" else "-1D"
     }.mkString("array(", ",", ")")
-    val fpSql = (0 until 16).map { j =>
+    (0 until 16).map { j =>
       s"(case when graft_dot(e, ${planeSql(j)}) > 0D then ${1L << j}L else 0L end)"
     }.mkString(" + ")
+  }
+
+  /** The DuckDB twin of [[srpFpSql]] over a column named `e`. */
+  private[operators] val srpFpOracleSql: String =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, 16), j -> CASE WHEN
+      |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |          list_transform(range(0, 64), d -> e[d + 1] *
+      |            (CASE WHEN ((d * 64 + j) * 1103515245 + 12345)
+      |               % 1000000007 % 2 = 0
+      |             THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE)
+      |             END))), (a, x) -> a + x) > 0
+      |        THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+      |        ELSE 0 END)), (a, x) -> a + x)""".stripMargin
+
+  def vecSrpFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(s)
+    val fpSql = srpFpSql
     Tables.embeddings(s, dir)
       .select(col("vec_id").cast("long").as("vec_id"),
         col("label").cast("long").as("label"),
