@@ -201,7 +201,9 @@ object PlanAudit {
     "q_ml_weighted_kappa" -> 2,
     // r16 batch 56: multilabel metrics' two 1-row metric-frame
     // crossJoins (user rollup + macro fold onto the micro agg)
-    "q_ml_multilabel_metrics" -> 2)
+    "q_ml_multilabel_metrics" -> 2,
+    // r16 batch 58: keyness' 1-row corpus-total crossJoin(broadcast)
+    "q_text_keyness" -> 1)
 
   /** Peel codegen wrappers so the exchange child's real operator is
     * classified, not the WholeStageCodegen shell around it. */

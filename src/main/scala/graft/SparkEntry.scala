@@ -110,6 +110,7 @@ object SparkEntry {
     operators.Pipeline87,
     operators.Pipeline88,
     operators.Pipeline89,
+    operators.Pipeline90,
     operators.StoreOps,
     streaming.StreamOps,
     functions.Scalars,
