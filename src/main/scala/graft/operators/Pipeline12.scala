@@ -104,36 +104,61 @@ object Pipeline12 extends graft.QueryModule {
   }
 
   /** PARETO (80/20) concentration per market segment — the companion
-    * readout to [[aggGini]] on the SAME banded rank frame: the
-    * smallest number of top customers whose revenue covers ≥ 80% of
-    * the segment, exactly: k80 = n − |maximal ascending prefix with
-    * 5·cum ≤ Σx| (all-integer compare — no percentage arithmetic),
-    * emitted with its ppm share of the customer base. The cumulative
-    * sum rides api.Dist.bandedCumSum over the ranked frame — no
-    * per-segment global sort anywhere.
+    * readout to [[aggGini]] on the same revenue-per-customer frame:
+    * the smallest number of top customers whose revenue covers ≥ 80%
+    * of the segment, exactly: k80 = n − |maximal ascending prefix
+    * with 5·cum ≤ Σx| (all-integer compare — no percentage
+    * arithmetic), emitted with its ppm share of the customer base.
+    * The cumulative sum rides api.Dist.bandedCumSum over the
+    * (segment, revenue) VALUE cells — no per-segment global sort and
+    * (since r16) no rank pass anywhere.
     *
-    * 100 TB: same shuffles as aggGini (per-customer roll-up, co-keyed
-    * dim join, banded rank/cumsum); the k80 agg carries two numbers
-    * per segment. */
+    * 100 TB: per-customer roll-up, co-keyed dim join, one value-grain
+    * agg + banded cumsum; the k80 agg carries two numbers per
+    * segment. */
   def winPareto(s: SparkSession, dir: String): DataFrame = {
-    val ranked = giniRanked(s, dir)
-    // localCheckpoint: the ranked+cumsum frame feeds BOTH the totals
-    // agg and the k80 consumer — without it each one replays the whole
-    // rank pipeline (at 100 TB this materialization is the store-once
-    // step a real report would persist anyway)
-    val cum = graft.api.Dist.bandedCumSum(ranked.withColumnRenamed("i", "rk"),
-      Seq("segment"), "rk", bandWidth = 4096L, sumCols = Seq("x"))
+    // r16 rewrite: the per-customer RANK never appears in the output,
+    // so the bandedRank pass is dropped entirely — customers group to
+    // (segment, x) VALUE cells (ng customers of identical revenue x),
+    // one banded cumsum in x order gives the strictly-preceding mass
+    // C0 per cell, and the 80% threshold T = tot div 5 cuts inside
+    // the single straddling cell arithmetically: within a cell each
+    // customer adds the same x, so #(cum ≤ T) = clamp((T−C0) div x,
+    // 0, ng) — identical integers to the old rank-order scan (the
+    // custkey tie-break orders customers of equal x, and every such
+    // order yields the same per-cell count). Old plan: bandedRank +
+    // bandedCumSum + checkpoint + per-customer threshold agg; new:
+    // one value-grain agg + one bandedCumSum.
+    // 5·cum ≤ tot ⟺ cum ≤ tot div 5 for integers — the div form never
+    // multiplies a near-int64 cumulative.
+    val rev = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("x"))
+    val seg = rev.join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), col("x"))
+    // localCheckpoint: the value-cell frame feeds BOTH the totals agg
+    // and the cumsum consumer — without it each replays the scan+aggs
+    // (at 100 TB this materialization is the store-once step a real
+    // report would persist anyway)
+    val g = seg.groupBy("segment", "x")
+      .agg(count(lit(1)).as("ng"))
+      .withColumn("mg", col("ng") * col("x"))
       .localCheckpoint()
     // totals via map-side-partial agg + broadcast, NOT a per-segment
     // whole-partition window (which would funnel each segment's
-    // customers through one reducer at scale).
-    // 5·cum ≤ tot ⟺ cum ≤ tot div 5 for integers — the div form never
-    // multiplies a near-int64 cumulative
-    val tot = cum.groupBy("segment").agg(sum("x").as("tot"))
-    cum.join(broadcast(tot), "segment")
+    // customers through one reducer at scale)
+    val tot = g.groupBy("segment")
+      .agg(sum("ng").as("n_custs"), sum("mg").as("tot"))
+    graft.api.Dist.bandedCumSum(g, Seq("segment"), "x",
+        bandWidth = 10000000L, sumCols = Seq("mg"), inclusive = false)
+      .join(broadcast(tot), "segment")
       .groupBy("segment")
-      .agg(count(lit(1)).as("n_custs"), min("tot").as("tot_cents"),
-        sum(when(col("cum_x") <= expr("tot div 5"), 1L).otherwise(0L))
+      .agg(max("n_custs").as("n_custs"), max("tot").as("tot_cents"),
+        sum(expr("case when x > 0 then" +
+          " greatest(0L, least(ng, (tot div 5 - cum_mg) div x))" +
+          " when cum_mg <= tot div 5 then ng else 0L end"))
           .as("droppable"))
       .select(col("segment"), col("n_custs"),
         (col("n_custs") - col("droppable")).as("k80"),
@@ -143,8 +168,8 @@ object Pipeline12 extends graft.QueryModule {
       .orderBy("segment")
   }
 
-  /** Revenue DECILE report per market segment — the third consumer of
-    * the shared banded rank frame ([[aggGini]], [[winPareto]]): each
+  /** Revenue DECILE report per market segment — the second consumer
+    * of the shared banded rank frame (with [[aggGini]]): each
     * active customer lands in decile (i−1)·10 div n + 1 of its
     * segment (exact integer rank arithmetic — no ntile, whose global
     * sort the banded rank replaces), and each (segment, decile) row

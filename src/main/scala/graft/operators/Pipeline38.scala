@@ -85,20 +85,21 @@ object Pipeline38 extends graft.QueryModule {
     * with EXACT average-tie ranks and NO global sort: per variable,
     * the distinct-value frame gets below-counts from the banded
     * prefix-sum machinery, average ranks in exact DOUBLED units
-    * (2·rank = 2·cum_below + ties + 1 — all integers), rows re-join
-    * their rank by value equi-join, and rho is Pearson on the doubled
-    * ranks (the ½ scaling cancels) from decimal(38,0) moments. The
-    * variance cross-product would overflow decimal(38,0), so each
-    * factor casts to double BEFORE the final multiply (same shape
-    * both engines).
+    * (2·rank = 2·cum_below + ties + 1 — all integers), rows take rx
+    * from a broadcast of the tiny x-rank frame and every moment folds
+    * at the y-value grain (Σ_rows rx·ry = Σ_y ry·Σ_{y} rx — exact
+    * integers, so the regroup is identity), and rho is Pearson on the
+    * doubled ranks (the ½ scaling cancels) from decimal(38,0)
+    * moments. The variance cross-product would overflow
+    * decimal(38,0), so each factor casts to double BEFORE the final
+    * multiply (same shape both engines).
     *
-    * 100 TB: two domain aggs + banded cumsums + two value equi-joins
-    * + one moment agg — no sort of row-scale data anywhere. */
+    * 100 TB: one broadcast rank attach + one y-grain agg + one banded
+    * cumsum + one moment agg — no row-scale join or sort anywhere. */
   def mlSpearman(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.lineitem(s, dir)
       .select(expr("cast(round(l_quantity * 100) as bigint)").as("x"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("y"))
-      .localCheckpoint(true)
     def doubledRanks(v: String, bw: Long): DataFrame = {
       val g = base.groupBy(v).agg(count(lit(1)).as("tv"))
       graft.api.Dist.bandedCumSum(g, Seq(), v, bandWidth = bw,
@@ -106,15 +107,28 @@ object Pipeline38 extends graft.QueryModule {
         .select(col(v), (lit(2L) * col("cum_tv") + col("tv") + 1L)
           .as(s"r$v"))
     }
-    base
-      .join(doubledRanks("x", 500L), "x")
-      .join(doubledRanks("y", 200000L), "y")
-      .agg(count(lit(1)).as("n"),
-        sum(expr("cast(rx as decimal(38,0))")).as("sx"),
-        sum(expr("cast(ry as decimal(38,0))")).as("sy"),
-        sum(expr("cast(rx as decimal(38,0)) * rx")).as("sxx"),
-        sum(expr("cast(ry as decimal(38,0)) * ry")).as("syy"),
-        sum(expr("cast(rx as decimal(38,0)) * ry")).as("sxy"))
+    // r16 rewrite: rx rides a BROADCAST join of the tiny x-rank frame
+    // (≤|x-domain| rows), then everything folds at the y-VALUE grain —
+    // per y: row count tv and the exact decimal Σrx / Σrx² — so the
+    // y-rank never re-joins row-scale data (the old plan's 600k×600k
+    // sort-merge join and the eager base checkpoint are gone; every
+    // moment is the identical integer: Σ_rows rx·ry = Σ_y ry·Σ_{y} rx).
+    val yg = base
+      .join(broadcast(doubledRanks("x", 500L)), "x")
+      .groupBy("y")
+      .agg(count(lit(1)).as("tv"),
+        sum(expr("cast(rx as decimal(38,0))")).as("srx"),
+        sum(expr("cast(rx as decimal(38,0)) * rx")).as("srx2"))
+    graft.api.Dist.bandedCumSum(yg, Seq(), "y", bandWidth = 200000L,
+        sumCols = Seq("tv"), inclusive = false)
+      .select(col("tv"), col("srx"), col("srx2"),
+        (lit(2L) * col("cum_tv") + col("tv") + 1L).as("ry"))
+      .agg(sum("tv").as("n"),
+        sum("srx").as("sx"),
+        sum(expr("cast(tv as decimal(38,0)) * ry")).as("sy"),
+        sum("srx2").as("sxx"),
+        sum(expr("cast(tv as decimal(38,0)) * ry * ry")).as("syy"),
+        sum(expr("srx * ry")).as("sxy"))
       .selectExpr("n",
         "round(cast(n * sxy - sx * sy as double)" +
           " / (sqrt(cast(n * sxx - sx * sx as double))" +

@@ -15,28 +15,30 @@ object Pipeline63 extends graft.QueryModule {
 
   /** REFERENTIAL INTEGRITY REPORT across the three fact FKs
     * (lineitem→orders, orders→customer, customer→nation): child rows,
-    * orphan children (FK points nowhere — anti-join), and childless
-    * parents (no referencing row — the TPC-H ~1/3 of customers with
-    * no orders) — the constraint checks a lakehouse without enforced
-    * FKs runs nightly. Pure distinct + anti-join counting.
+    * orphan children (FK points nowhere), and childless parents (no
+    * referencing row — the TPC-H ~1/3 of customers with no orders) —
+    * the constraint checks a lakehouse without enforced FKs runs
+    * nightly. One map-side-partial per-key child count FULL OUTER
+    * joined once against the (unique, by schema PK) parent keys:
+    * orphan child mass is the unmatched child side, childless parents
+    * the unmatched parent side, total child rows the count-mass sum —
+    * the r16 rewrite of the 2-checkpoint + 2-distinct + 2-anti-join
+    * shape (6 exchanges per relation → 2, identical integers).
     *
-    * 100 TB: each relation is two key-projected anti-joins on the FK
-    * (co-partitioned after the distinct); counts fold per relation. */
+    * 100 TB: one child-key partial agg + one co-partitioned full
+    * outer join per relation; counts fold per relation. */
   def profileReferential(s: SparkSession, dir: String): DataFrame = {
     def rel(name: String, child: DataFrame, ck: String,
         parent: DataFrame, pk: String): DataFrame = {
-      val ckeys = child.select(col(ck).cast("long").as("k"))
-        .localCheckpoint(true)
-      val pkeys = parent.select(col(pk).cast("long").as("k"))
-        .localCheckpoint(true)
-      val nChild = ckeys.agg(count(lit(1)).as("n_child"))
-      val orphans = ckeys.join(pkeys.distinct(), Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      val childless = pkeys
-        .join(ckeys.distinct(), Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_childless_parents"))
-      nChild.crossJoin(broadcast(orphans))
-        .crossJoin(broadcast(childless))
+      val ckeys = child.groupBy(col(ck).cast("long").as("k"))
+        .agg(count(lit(1)).as("nc"))
+      val pkeys = parent.select(col(pk).cast("long").as("pk2"))
+      ckeys.join(pkeys, col("k") === col("pk2"), "full_outer")
+        .agg(sum(coalesce(col("nc"), lit(0L))).as("n_child"),
+          sum(when(col("pk2").isNull, col("nc")).otherwise(0L))
+            .as("n_orphans"),
+          sum(when(col("k").isNull, 1L).otherwise(0L))
+            .as("n_childless_parents"))
         .select(lit(name).as("relation"), col("n_child"),
           col("n_orphans"), col("n_childless_parents"))
     }
