@@ -23,25 +23,32 @@ object Pipeline86 extends graft.QueryModule {
     * integer ratio), so the score is a fixed double dag; ranking is
     * on the ROUNDED score with doc_id tie-break (§2.0 rule).
     *
-    * 100 TB: term postings are an equi-join of the (token-filtered)
-    * posting list against the broadcast 5-term frame; doc lengths
-    * are a doc-keyed partial agg; the window ranks ≤N rows per term,
+    * 100 TB: doc length and the 5 term frequencies fold in ONE
+    * doc-keyed map-side-partial agg over the token stream (r16 —
+    * was two tokenize passes); the window ranks ≤N rows per term,
     * never a global sort. */
   def textBm25(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = TextOps.tokens(s, dir)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // r16: ONE tokenize+agg pass — the per-doc length and the 5 term
+    // frequencies fold in the same doc-keyed hash agg (tf_t = count of
+    // matching tokens, identical integers to the old join-then-count),
+    // so the corpus is tokenized once instead of twice and the
+    // tf→dl doc-level join disappears (stack un-pivots the 5 counts).
+    val perDoc = TextOps.tokens(s, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"),
+        bmTerms.map(t => sum(when(col("token") === t, 1L).otherwise(0L))
+          .as(s"tf_$t")): _*)
       .localCheckpoint(true)
-    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
-    val sp = s
-    import sp.implicits._
-    val terms = bmTerms.toDF("term")
-    val tf = toks.join(broadcast(terms), col("token") === col("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val corpus = perDoc.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+    val tf = perDoc.selectExpr("doc_id", "dl",
+        s"stack(${bmTerms.size}, " +
+          bmTerms.map(t => s"'$t', tf_$t").mkString(", ") +
+          ") as (term, tf)")
+      .where(col("tf") > 0)
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df_), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .select(col("term"), col("doc_id"), col("tf"),
         round(expr(

@@ -67,35 +67,40 @@ object Pipeline89 extends graft.QueryModule {
       .orderBy("event_type")
   }
 
-  private def embPairs(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExprs.ensureRegistered(s)
-    val v = Tables.embeddings(s, dir)
-      .select(col("label").cast("long").as("label"),
-        col("vec_id").cast("long").as("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("e"))
-    val a = v.select(col("label"), col("vec_id").as("d1"),
-      col("e").as("e1"))
-    val b = v.select(col("label"), col("vec_id").as("d2"),
-      col("e").as("e2"))
-    a.join(b, "label").where(col("d1") < col("d2"))
-  }
-
   /** MATRYOSHKA TRUNCATION QUALITY — how much of the full-dim cosine
     * survives a prefix truncation (the modern nested-embedding
     * question): over the label-blocked pair frame, for each prefix
     * L ∈ {8,16,32} the per-pair |cos_L − cos_64| re-quantized to
     * exact micro integers; per L: pair count, mean and max drift.
-    * Every dot/norm is an ascending-index graft_dot fold.
+    * Every dot/norm is an ascending-index graft_dot fold; since r16
+    * the per-VECTOR prefix self-dots hoist out of the pair frame
+    * (4 values per row instead of 8 slice+dot kernels per pair) and
+    * cross dots use the sliceless graft_dot_pre — both bit-identical
+    * to the slice form (same fold over the same prefix).
     *
     * 100 TB: the pair space is per-label-block (the blocked-dedup
-    * shape); one projection per pair, then a 3-row rollup. */
+    * shape); 4 dot kernels per pair, then a 3-row rollup. */
   def vecMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(s)
+    val v = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        col("vec_id").cast("long").as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .select(col("label"), col("vec_id"), col("e"),
+        expr("graft_dot_pre(e, e, 8)").as("q8"),
+        expr("graft_dot_pre(e, e, 16)").as("q16"),
+        expr("graft_dot_pre(e, e, 32)").as("q32"),
+        expr("graft_dot(e, e)").as("q64"))
+    val a = v.select(col("label"), col("vec_id").as("d1"),
+      col("e").as("e1"), col("q8").as("a8"), col("q16").as("a16"),
+      col("q32").as("a32"), col("q64").as("a64"))
+    val b = v.select(col("label"), col("vec_id").as("d2"),
+      col("e").as("e2"), col("q8").as("b8"), col("q16").as("b16"),
+      col("q32").as("b32"), col("q64").as("b64"))
     def cosAt(l: Int): String =
-      if (l == 64) "graft_dot(e1, e2) / sqrt(graft_dot(e1, e1) * graft_dot(e2, e2))"
-      else s"graft_dot(slice(e1, 1, $l), slice(e2, 1, $l)) / " +
-        s"sqrt(graft_dot(slice(e1, 1, $l), slice(e1, 1, $l)) * " +
-        s"graft_dot(slice(e2, 1, $l), slice(e2, 1, $l)))"
-    val pairs = embPairs(s, dir)
+      if (l == 64) "graft_dot(e1, e2) / sqrt(a64 * b64)"
+      else s"graft_dot_pre(e1, e2, $l) / sqrt(a$l * b$l)"
+    val pairs = a.join(b, "label").where(col("d1") < col("d2"))
       .select(Seq(8, 16, 32).map { l =>
         expr(s"cast(round(abs((${cosAt(l)}) - (${cosAt(64)})) * 1000000)" +
           " as bigint)").as(s"drift$l")

@@ -20,11 +20,16 @@ object Pipeline90 extends graft.QueryModule {
     * pipeline runs.
     *
     * 100 TB: counts are one hash agg; the rank window partitions by
-    * lang over the vocabulary-bounded keyness frame. */
+    * lang over the vocabulary-bounded keyness frame. lang is a column
+    * of the same row the tokens explode from, so it rides the explode
+    * directly (r16: the post-explode token→doc join was a row-scale
+    * shuffle for a value already in hand). */
   def textKeyness(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = TextOps.tokens(s, dir)
-      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
     val cells = toks.groupBy("lang", "token").agg(count(lit(1)).as("k1"))
       .localCheckpoint(true)
     val tokTot = cells.groupBy("token").agg(sum("k1").as("kt"))
@@ -96,11 +101,11 @@ object Pipeline90 extends graft.QueryModule {
     * that neighbor's start: window distances² are exact decimal sums
     * of integer cent differences over the GAP-FILLED calendar (absent
     * days = 0), the profile distance re-quantized to whole cents,
-    * argmin by (distance, neighbor start) via the min-agg + achiever
-    * re-filter shape. Max-profile rows are the series' discords;
+    * argmin by (distance, neighbor start) via one lexicographic
+    * min(struct) agg. Max-profile rows are the series' discords;
     * min rows its motifs.
     *
-    * 100 TB: the window-pair frame is calendar-bounded (‖starts‖²·7
+    * 100 TB: the window-pair frame is calendar-bounded (‖starts‖²
     * per type), never row-scale; the daily agg is the only full
     * pass. */
   def timeMatrixProfile(s: SparkSession, dir: String): DataFrame = {
@@ -127,27 +132,35 @@ object Pipeline90 extends graft.QueryModule {
           .as("st"))
       .select(col("event_type"), col("st"), (col("i") - col("st")).as("k"),
         col("v"))
-    val a = wd.select(col("event_type"), col("st").as("s1"), col("k"),
-      col("v").as("v1"))
-    val b = wd.select(col("event_type"), col("st").as("s2"), col("k"),
-      col("v").as("v2"))
-    val dists = a.join(b, Seq("event_type", "k"))
+    // r16 rewrite: windows collapse to one 7-slot ARRAY row per start
+    // (calendar-bounded frame), pairs come from a broadcast self-join
+    // on the type key alone, the distance² is a fixed UNROLLED 7-term
+    // decimal dag (codegen'd; decimal addition is exact so any
+    // association equals the old 7-rows-per-pair hash-agg sum), and
+    // the argmin collapses to ONE min(struct(dist, s2)) agg — the
+    // lexicographic struct min IS (min dist, then min s2 among its
+    // achievers). Old plan: 7× pair-row shuffle expansion + 2.6M-group
+    // hash agg + checkpoint + achiever re-join; new: broadcast join +
+    // per-pair expression + one tiny agg.
+    val win = wd.groupBy("event_type", "st")
+      .agg(expr("transform(array_sort(collect_list(struct(k, v)))," +
+        " t -> t.v)").as("w"))
+    val a = win.select(col("event_type"), col("st").as("s1"),
+      col("w").as("w1"))
+    val b = win.select(col("event_type"), col("st").as("s2"),
+      col("w").as("w2"))
+    val dsq = (0 until 7).map(j =>
+        s"cast(w1[$j] - w2[$j] as decimal(38,0)) * (w1[$j] - w2[$j])")
+      .mkString(" + ")
+    a.join(broadcast(b), "event_type")
       .where(abs(col("s1") - col("s2")) >= 4)
-      .groupBy("event_type", "s1", "s2")
-      .agg(sum(expr("cast(v1 - v2 as decimal(38,0)) * (v1 - v2)"))
-        .as("dsq"))
       .select(col("event_type"), col("s1"), col("s2"),
-        expr("cast(round(sqrt(cast(dsq as double))) as bigint)")
+        expr(s"cast(round(sqrt(cast($dsq as double))) as bigint)")
           .as("dist"))
-      .localCheckpoint(true)
-    val mn = dists.groupBy("event_type", "s1")
-      .agg(min("dist").as("profile"))
-    dists.join(mn, Seq("event_type", "s1"))
-      .where(col("dist") === col("profile"))
-      .groupBy("event_type", "s1", "profile")
-      .agg(min("s2").as("nearest"))
+      .groupBy("event_type", "s1")
+      .agg(min(struct(col("dist"), col("s2"))).as("m"))
       .select(col("event_type"), col("s1").as("window_start"),
-        col("profile").as("profile_cents"), col("nearest"))
+        col("m.dist").as("profile_cents"), col("m.s2").as("nearest"))
       .orderBy("event_type", "window_start")
   }
 
