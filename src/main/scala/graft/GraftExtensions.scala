@@ -22,6 +22,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         functions.ArrayDot(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_dot_pre"),
+      new ExpressionInfo(classOf[functions.ArrayDotPrefix].getName,
+        "graft_dot_pre"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.ArrayDotPrefix(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[functions.PolyHash].getName,
+        "graft_polyhash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.PolyHash(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_theta_agg"),
       new ExpressionInfo(classOf[functions.ThetaSketchAgg].getName,
         "graft_theta_agg"),

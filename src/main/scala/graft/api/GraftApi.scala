@@ -234,9 +234,17 @@ object Text {
     * a pure projection usable as a distributed id assignment (no vocab
     * table, no global sort). Engine-neutral: integer-identical to a
     * DuckDB list_reduce fold (see TextOps.polyHashSql). */
-  def polyHash(c: String): Column =
-    expr(s"aggregate(sequence(1, length($c)), 0L, " +
-      s"(a, i) -> (a * 131 + ascii(substring($c, i, 1))) % 1000000007)")
+  def polyHash(c: String): Column = {
+    // r16: the native single-pass Horner expression (bit-identical to
+    // the interpreted HOF fold it replaces — TextExprsSpec pins the
+    // equality incl. multi-byte code points; the HOF paid a lambda
+    // dispatch + O(position) substring re-scan PER CHARACTER).
+    // Registered by GraftExtensions at session build; re-registered
+    // defensively here for sessions built without the extension.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.TextExprs.ensureRegistered)
+    expr(s"graft_polyhash($c)")
+  }
 
   /** Sequence packing (training-batch construction): assign each row a
     * token-budget bin — bin = floor(cumulative tokens BEFORE this row
