@@ -120,12 +120,22 @@ object Text {
   def perplexityScore(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val tok = tokens(docs, idCol, textCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("ord")
-    val bi = tok
-      .withColumn("w2", lead(col("token"), 1).over(w))
-      .where(col("w2").isNotNull)
-      .select(col(idCol), col("ord"), col("token").as("w1"), col("w2"))
+    // r16: bigrams zip straight out of the per-doc token array —
+    // consecutive non-empty tokens, exactly what the old per-doc
+    // lead() window produced without shuffling + sorting the
+    // row-scale token stream. `ord` only orders the per-doc lp fold,
+    // and the filtered position is order-isomorphic to the raw
+    // ordinal, so the fold (and every output double) is unchanged.
+    val bi = docs
+      .select(col(idCol),
+        expr(s"filter(split(lower($textCol), ' '), x -> x <> '')")
+          .as("__ts"))
+      .where(size(col("__ts")) >= 2)
+      .select(col(idCol), posexplode(expr(
+        "transform(sequence(1, size(__ts) - 1)," +
+          " i -> struct(__ts[i - 1] as w1, __ts[i] as w2))")))
+      .select(col(idCol), col("pos").cast("long").as("ord"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val v = tok.agg(countDistinct(col("token")).as("v"))

@@ -24,22 +24,30 @@ object Pipeline31 extends graft.QueryModule {
     * 100 TB: one tokenize pass → distinct pair agg (vocabulary-sized
     * edge list); each PageRank round is one equi-join + hash agg on
     * the support-sized graph; the word dictionary joins back
-    * broadcast. */
+    * broadcast. r16: adjacent pairs zip straight out of the per-doc
+    * token ARRAY (consecutive non-empty tokens — exactly what the old
+    * per-doc lead() window produced, without shuffling + sorting the
+    * row-scale token stream), and the dictionary derives from the
+    * edge endpoints (the rank join is inner on edge nodes, so
+    * non-edge words never mattered). */
   def textTextrank(s: SparkSession, dir: String): DataFrame = {
-    val tok = graft.api.Text.tokens(Tables.documents(s, dir),
-      "doc_id", "text")
-    val adj = tok.select(col("doc_id"), col("ord"), col("token"))
-      .withColumn("nxt", lead("token", 1).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("ord")))
-      .where(col("nxt").isNotNull && col("token") =!= col("nxt"))
-      .select(least(col("token"), col("nxt")).as("w1"),
-        greatest(col("token"), col("nxt")).as("w2"))
+    val adj = Tables.documents(s, dir)
+      .select(expr("filter(split(lower(text), ' '), x -> x <> '')")
+        .as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1)," +
+          " i -> struct(ts[i - 1] as a, ts[i] as b))")).as("p"))
+      .where(expr("p.a <> p.b"))
+      .select(least(col("p.a"), col("p.b")).as("w1"),
+        greatest(col("p.a"), col("p.b")).as("w2"))
       .distinct()
+      .localCheckpoint()
     val edges = adj
       .select(TextOps.polyHash("w1").as("d1"),
         TextOps.polyHash("w2").as("d2"))
-    val words = tok.select(col("token").as("word")).distinct()
+    val words = adj.select(explode(array(col("w1"), col("w2"))).as("word"))
+      .distinct()
       .select(col("word"), TextOps.polyHash("word").as("node"))
     graft.api.Graph.pagerankMicro(edges, "d1", "d2", iters = 3)
       .join(broadcast(words), "node")

@@ -20,29 +20,31 @@ object Pipeline58 extends graft.QueryModule {
     * delta per class. The "what changed between yesterday's and
     * today's table version" operator every incremental pipeline needs.
     *
-    * 100 TB: both snapshots aggregate the same scan partitioned by
-    * l_orderkey, so the full outer join is co-partitioned — one
-    * shuffle each side, no broadcast, no skew risk beyond the key
-    * itself. */
+    * 100 TB: the early snapshot's rows are a SUBSET of the late one's
+    * (both filter the same shipdate column, A < B), so both snapshot
+    * aggregates fold in ONE conditional pass over the scan — one
+    * shuffle on l_orderkey total (r16; was two scans + two shuffles +
+    * a full outer join). A key absent from snapshot A is exactly a
+    * key with zero pre-A rows ('added'); 'removed' (in A, not B) is
+    * impossible by A ⊆ B but the classifier keeps the branch for
+    * completeness. */
   def mergeSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    def snap(cutoff: String): DataFrame = Tables.lineitem(s, dir)
-      .where(col("l_shipdate") < lit(cutoff).cast("timestamp"))
-      .select(col("l_orderkey"),
+    val a = lit("1998-01-01").cast("timestamp")
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), (col("l_shipdate") < a).as("early"),
         (expr("cast(round(l_extendedprice * 100) as bigint)")
           * (lit(100L) -
             expr("cast(round(l_discount * 100) as bigint)"))).as("r"))
-      .groupBy("l_orderkey").agg(sum("r").as("v"))
-    val a = snap("1998-01-01")
-      .select(col("l_orderkey").as("k"), col("v").as("va"))
-    val b = snap("2000-01-01")
-      .select(col("l_orderkey").as("k2"), col("v").as("vb"))
-    a.join(b, col("k") === col("k2"), "full_outer")
+      .groupBy("l_orderkey")
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("early"), col("r")).otherwise(0L)).as("va"),
+        sum("r").as("vb"))
       .selectExpr(
-        "case when k is null then 'added'" +
-          " when k2 is null then 'removed'" +
+        "case when ca = 0 then 'added'" +
           " when va = vb then 'unchanged'" +
           " else 'modified' end as change_type",
-        "coalesce(vb, 0L) - coalesce(va, 0L) as delta")
+        "vb - va as delta")
       .groupBy("change_type")
       .agg(count(lit(1)).as("n_orders"), sum("delta").as("delta_cents"))
       .orderBy("change_type")
