@@ -76,7 +76,14 @@ object Pipeline52 extends graft.QueryModule {
     val pairs = s.read.parquet(TextOps.ensureFullPairs(s, dir))
       .where(col("matches") >= 8).select("d1", "d2")
       .localCheckpoint(true)
+    // r16: only the candidate-pair docs' n-grams/lengths are ever
+    // consumed — restrict the corpus BEFORE tokenizing/exploding
+    // (broadcast semi-join on the tiny pair-doc set)
+    val pairDocs = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
     val docToks = Tables.documents(s, dir)
+      .join(broadcast(pairDocs), "doc_id")
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
     // n-grams assembled at the ARRAY level (one narrow pass per n) —
