@@ -368,20 +368,24 @@ object Text {
     * double (ROUND 6, the tfidf discipline). Output: (w1, w2,
     * pair_count, pmi).
     *
-    * 100 TB: bigrams come from one lead() window partitioned by doc
-    * (never a self-join); pair and unigram counts partial-agg map-side;
-    * the two unigram joins shuffle on token — fine at any vocab — and
-    * the corpus totals are 1-row broadcasts. Top-k is TakeOrdered, no
-    * global sort. */
+    * 100 TB: bigrams zip straight out of the per-doc token array
+    * (consecutive non-empty tokens — what the pre-r16 per-doc lead()
+    * window produced, without shuffling + sorting the row-scale token
+    * stream, and never a self-join); pair and unigram counts
+    * partial-agg map-side; the two unigram joins shuffle on token —
+    * fine at any vocab — and the corpus totals are 1-row broadcasts.
+    * Top-k is TakeOrdered, no global sort. */
   def collocations(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 3L, k: Int = 50): DataFrame = {
     val toks = tokens(docs, idCol, textCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("ord"))
-    val pairs = toks
-      .withColumn("w2", lead(col("token"), 1).over(w))
-      .where(col("w2").isNotNull)
-      .select(col("token").as("w1"), col("w2"))
+    val pairs = docs
+      .select(expr(s"filter(split(lower($textCol), ' '), x -> x <> '')")
+        .as("__ts"))
+      .where(size(col("__ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__ts) - 1)," +
+          " i -> struct(__ts[i - 1] as w1, __ts[i] as w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
     val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
     val nTok = toks.agg(count(lit(1)).as("n_tok"))
