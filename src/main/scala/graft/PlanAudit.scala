@@ -146,9 +146,9 @@ object PlanAudit {
     // r14 batch 30: sequence gaps — bandedRank's band-offset theta
     // join over the band summary frame
     "q_profile_sequence_gaps" -> 1,
-    // r14 batch 31: referential report — two 1-row count attaches per
-    // relation x three relations (orphans + childless onto n_child)
-    "q_profile_referential" -> 6,
+    // r16: q_profile_referential's two 1-row count attaches per
+    // relation became one full-outer aggregate join — no BNLJ left,
+    // whitelist entry removed (the audit flags stale pins)
     "q_time_interp" -> 1, "q_vec_bucketize" -> 2,
     "q_vec_bucketize_cuts" -> 1, "q_graph_triangles" -> 3,
     // r14: the q_vec_bucketize pair — bandedRank's band-offset theta
