@@ -34,11 +34,12 @@ object Pipeline36 extends graft.QueryModule {
       expr("cast(round(l_discount * 100) as bigint) >= 5").as("y"),
       col("l_returnflag"), col("l_linestatus"),
       year(col("l_shipdate")).cast("string").as("shipyear"))
-    val long = li.select(col("y"), explode(map(
-        lit("returnflag"), col("l_returnflag"),
-        lit("linestatus"), col("l_linestatus"),
-        lit("shipyear"), col("shipyear"))))
-      .toDF("y", "feature", "v")
+    // r16: stack() instead of explode(map(...)) — same three rows per
+    // input row without building a per-row ArrayBasedMapData
+    val long = li.selectExpr("y",
+        "stack(3, 'returnflag', l_returnflag," +
+          " 'linestatus', l_linestatus," +
+          " 'shipyear', shipyear) as (feature, v)")
     val cells = long.groupBy("feature", "v", "y")
       .agg(count(lit(1)).as("nxy"))
     val tot = cells.groupBy("feature").agg(sum("nxy").as("n"))
